@@ -1,0 +1,358 @@
+"""Deterministic synthetic fixtures (FIXTURES.md) — webpages + RUIAN-style
+polygon layers with generation-time ground truth.
+
+Polygons form a regular grid over the extent, so every point's parent
+municipality / cadastral area / tile key is known at generation time —
+replicating the FK ground truth the reference data carries
+(gfs/AdresniMista.gfs:63-80, gfs/Parcely.gfs:76-81) and making J4/J5/J6
+exactly checkable.
+
+All randomness comes from one seeded PCG64; no wall clock, no external
+data. Scale knobs follow FIXTURES.md §1 (megacity hotspot >=20% of rows
+in one cell to exercise skew).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from gdal_vfr_spark.geo import cells, wkb
+
+# Czech-like extent (the reference's EPSG:5514 footprint, but in WGS84
+# lon/lat per SURVEY.md §1.3 — tile keys must be deterministic).
+LON0, LON1 = 14.0, 15.0
+LAT0, LAT1 = 49.5, 50.5
+GRID = 10  # GRID x GRID = 100 obce polygons (FIXTURES.md §2)
+KU_SUB = 2  # 2x2 katastralni uzemi per obec
+PAR_SUB = 4  # 4x4 parcely per KU
+TILE_RES = 15
+OBEC_BASE = 500000
+KU_BASE = 600000
+PAR_BASE = 70000000
+ULICE_BASE = 100000
+BASE_TS = np.datetime64("2024-01-01T00:00:00")
+
+_WORDS = (
+    "praha brno plzen ostrava street page data web text the of and to in "
+    "a is for on with as by at from map city river castle square"
+).split()
+
+
+def _dx() -> float:
+    return (LON1 - LON0) / GRID
+
+
+def _dy() -> float:
+    return (LAT1 - LAT0) / GRID
+
+
+def obec_kod(ix: np.ndarray, iy: np.ndarray) -> np.ndarray:
+    return OBEC_BASE + iy * GRID + ix
+
+
+def truth_obec(lon: np.ndarray, lat: np.ndarray) -> np.ndarray:
+    ix = np.clip(np.floor((lon - LON0) / _dx()).astype(np.int64), 0, GRID - 1)
+    iy = np.clip(np.floor((lat - LAT0) / _dy()).astype(np.int64), 0, GRID - 1)
+    return obec_kod(ix, iy)
+
+
+def gen_webpages_pdf(n: int = 10_000, seed: int = 42, null_frac: float = 0.05,
+                     hotspot_frac: float = 0.25) -> pd.DataFrame:
+    """Common-Crawl-style fact table with geotags + ground truth."""
+    rng = np.random.default_rng(seed)
+    i = np.arange(n, dtype=np.int64)
+    lon = rng.uniform(LON0, LON1, n)
+    lat = rng.uniform(LAT0, LAT1, n)
+    # megacity hotspot: concentrate a block of rows into the middle
+    # quarter of one obec cell (skew for salting/AQE tests)
+    nhot = int(n * hotspot_frac)
+    hx, hy = GRID // 2, GRID // 2
+    lon[:nhot] = LON0 + (hx + 0.375 + rng.uniform(0, 0.25, nhot)) * _dx()
+    lat[:nhot] = LAT0 + (hy + 0.375 + rng.uniform(0, 0.25, nhot)) * _dy()
+    perm = rng.permutation(n)
+    lon, lat = lon[perm], lat[perm]
+    t_obec = truth_obec(lon, lat)
+    t_tile = cells.cell_encode(lon, lat, TILE_RES)
+    # null geotags (reference: 9/221 AdresniMista without AdresniBod)
+    nulls = rng.random(n) < null_frac
+    lon_o = np.where(nulls, np.nan, lon)
+    lat_o = np.where(nulls, np.nan, lat)
+    t_obec = np.where(nulls, -1, t_obec)
+    t_tile = np.where(nulls, -1, t_tile)
+
+    widx = rng.integers(0, len(_WORDS), (n, 8))
+    words = np.asarray(_WORDS)
+    text = np.array(
+        ["page %d %s" % (k, " ".join(words[widx[k]])) for k in range(n)], dtype=object
+    )
+    lang = rng.choice(["cs", "en", "de", "sk"], n, p=[0.55, 0.3, 0.1, 0.05])
+    pdf = pd.DataFrame(
+        {
+            "url": np.char.add("https://example.cz/p/", i.astype(str)),
+            "warc_ts": BASE_TS + i * np.timedelta64(7, "s"),
+            "html": [b"<html><body>" + t.encode() + b"</body></html>" for t in text],
+            "text": text,
+            "lang": lang,
+            "lon": lon_o,
+            "lat": lat_o,
+            "truth_obec_kod": t_obec.astype(np.int64),
+            "truth_tile_key": t_tile.astype(np.int64),
+        }
+    )
+    return pdf
+
+
+def _grid_polygon(x0: float, y0: float, dx: float, dy: float, shrink: float = 0.0):
+    sx, sy = dx * shrink, dy * shrink
+    ring = np.asarray(
+        [
+            [x0 + sx, y0 + sy],
+            [x0 + dx - sx, y0 + sy],
+            [x0 + dx - sx, y0 + dy - sy],
+            [x0 + sx, y0 + dy - sy],
+            [x0 + sx, y0 + sy],
+        ]
+    )
+    return ring
+
+
+def gen_obce_pdf(seed: int = 42) -> pd.DataFrame:
+    """Municipality layer: 3 geometry columns + validity flags
+    (gfs/Obce.gfs:8-24 analogue, multi-geometry per SURVEY.md §1.1)."""
+    rng = np.random.default_rng(seed + 1)
+    rows = []
+    dx, dy = _dx(), _dy()
+    for iy in range(GRID):
+        for ix in range(GRID):
+            kod = int(obec_kod(np.asarray([ix]), np.asarray([iy]))[0])
+            x0, y0 = LON0 + ix * dx, LAT0 + iy * dy
+            ring = _grid_polygon(x0, y0, dx, dy)
+            gen = (
+                wkb.multipolygon([[_grid_polygon(x0, y0, dx, dy, shrink=0.02)]])
+                if rng.random() > 0.30  # ~30% NULL exercises coalesce chain
+                else None
+            )
+            rows.append(
+                {
+                    "kod": kod,
+                    "nazev": f"Obec {kod}",
+                    "nespravny": bool(rng.random() < 0.02),
+                    "okres_kod": 40000 + (iy // 2) * (GRID // 2) + ix // 2,
+                    "plati_od": pd.Timestamp("2020-01-01")
+                    + pd.Timedelta(days=int(rng.integers(0, 365))),
+                    "plati_do": pd.NaT,
+                    "definicni_bod": wkb.multipoint([[x0 + dx / 2, y0 + dy / 2]]),
+                    "originalni_hranice": wkb.multipolygon([[ring]]),
+                    "generalizovane_hranice": gen,
+                }
+            )
+    return pd.DataFrame(rows)
+
+
+def gen_katastralni_uzemi_pdf(seed: int = 42) -> pd.DataFrame:
+    rng = np.random.default_rng(seed + 2)
+    rows = []
+    dx, dy = _dx() / KU_SUB, _dy() / KU_SUB
+    for iy in range(GRID * KU_SUB):
+        for ix in range(GRID * KU_SUB):
+            kod = KU_BASE + iy * GRID * KU_SUB + ix
+            parent = int(obec_kod(np.asarray([ix // KU_SUB]), np.asarray([iy // KU_SUB]))[0])
+            x0, y0 = LON0 + ix * dx, LAT0 + iy * dy
+            ring = _grid_polygon(x0, y0, dx, dy)
+            rows.append(
+                {
+                    "kod": kod,
+                    "nazev": f"KU {kod}",
+                    "nespravny": bool(rng.random() < 0.02),
+                    "obec_kod": parent,
+                    "plati_od": pd.Timestamp("2020-01-01"),
+                    "plati_do": pd.NaT,
+                    "definicni_bod": wkb.multipoint([[x0 + dx / 2, y0 + dy / 2]]),
+                    "originalni_hranice": wkb.multipolygon([[ring]]),
+                    "generalizovane_hranice": None,
+                }
+            )
+    return pd.DataFrame(rows)
+
+
+def truth_ku(lon: np.ndarray, lat: np.ndarray) -> np.ndarray:
+    nx = GRID * KU_SUB
+    dx = (LON1 - LON0) / nx
+    dy = (LAT1 - LAT0) / nx
+    ix = np.clip(np.floor((lon - LON0) / dx).astype(np.int64), 0, nx - 1)
+    iy = np.clip(np.floor((lat - LAT0) / dy).astype(np.int64), 0, nx - 1)
+    return KU_BASE + iy * nx + ix
+
+
+def gen_parcely_pdf(seed: int = 42, per_ku: int = 4) -> pd.DataFrame:
+    """Parcel layer with IntegerList-analogue array columns
+    (gfs/Parcely.gfs:111-116 → ArrayType, SURVEY.md §1.3)."""
+    rng = np.random.default_rng(seed + 3)
+    rows = []
+    nku = GRID * KU_SUB
+    dxu = (LON1 - LON0) / nku
+    dyu = (LAT1 - LAT0) / nku
+    pid = PAR_BASE
+    for iy in range(nku):
+        for ix in range(nku):
+            ku = KU_BASE + iy * nku + ix
+            for s in range(per_ku):
+                sx, sy = s % 2, s // 2
+                x0 = LON0 + ix * dxu + sx * dxu / 2
+                y0 = LAT0 + iy * dyu + sy * dyu / 2
+                ring = _grid_polygon(x0, y0, dxu / 2, dyu / 2)
+                nlist = int(rng.integers(0, 3))
+                rows.append(
+                    {
+                        "id": pid,
+                        "katastralni_uzemi_kod": ku,
+                        "vymera": int(rng.integers(100, 10000)),
+                        "druh_pozemku_kod": int(rng.integers(2, 15)),
+                        "bonitovany_dil_vymera": [
+                            int(v) for v in rng.integers(10, 500, nlist)
+                        ],
+                        "zpusob_ochrany_kod": [int(v) for v in rng.integers(1, 9, nlist)],
+                        "definicni_bod": wkb.point(x0 + dxu / 4, y0 + dyu / 4),
+                        "originalni_hranice": wkb.polygon([ring]),
+                    }
+                )
+                pid += 1
+    return pd.DataFrame(rows)
+
+
+def gen_ulice_pdf(seed: int = 42, per_obec: int = 2) -> pd.DataFrame:
+    """Street lines — the only line layer (gfs/Ulice.gfs:8-12); kNN
+    target (nearest street to a page point)."""
+    rows = []
+    dx, dy = _dx(), _dy()
+    kod = ULICE_BASE
+    for iy in range(GRID):
+        for ix in range(GRID):
+            parent = int(obec_kod(np.asarray([ix]), np.asarray([iy]))[0])
+            x0, y0 = LON0 + ix * dx, LAT0 + iy * dy
+            for s in range(per_obec):
+                frac = (s + 1) / (per_obec + 1)
+                line = np.asarray(
+                    [[x0 + 0.1 * dx, y0 + frac * dy], [x0 + 0.9 * dx, y0 + frac * dy]]
+                )
+                rows.append(
+                    {
+                        "kod": kod,
+                        "nazev": f"Ulice {kod}",
+                        "obec_kod": parent,
+                        "definicni_cara": wkb.multilinestring([line]),
+                    }
+                )
+                kod += 1
+    return pd.DataFrame(rows)
+
+
+def gen_changes_pdf(seed: int = 42, n_add: int = 20, n_update: int = 30) -> pd.DataFrame:
+    """Change batch mirroring ST_ZKSH (vfrogr.py:992-1003 mode logic):
+    rows whose gml_id exists in current state are updates, fresh ids are
+    adds. gml_id format '{lcode}.{id}' per vfrogr.py:885."""
+    rng = np.random.default_rng(seed + 4)
+    ids_update = rng.choice(GRID * GRID, n_update, replace=False)
+    rows = []
+    for i in ids_update:
+        kod = OBEC_BASE + int(i)
+        rows.append(
+            {
+                "batch_id": "20240707_ST_ZKSH",
+                "layer": "obce",
+                "gml_id": f"OB.{kod}",
+                "kod": kod,
+                "nazev": f"Obec {kod} v2",
+                "nespravny": False,
+            }
+        )
+    for j in range(n_add):
+        kod = OBEC_BASE + GRID * GRID + j
+        rows.append(
+            {
+                "batch_id": "20240707_ST_ZKSH",
+                "layer": "obce",
+                "gml_id": f"OB.{kod}",
+                "kod": kod,
+                "nazev": f"Obec {kod} new",
+                "nespravny": False,
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def gen_tombstones_pdf(seed: int = 42, n: int = 10) -> pd.DataFrame:
+    """ZaniklePrvky analogue (gfs/ZaniklePrvky.gfs:3-27): layer-code +
+    feature id; includes one unknown code (error path vfrogr.py:877-881)
+    and one unmatched id (warn path vfrogr.py:902-906)."""
+    rng = np.random.default_rng(seed + 5)
+    ids = rng.choice(GRID * GRID, n - 2, replace=False)
+    rows = [
+        {"typ_prvku_kod": "OB", "prvek_id": OBEC_BASE + int(i), "id_transakce": 1000 + k}
+        for k, i in enumerate(ids)
+    ]
+    rows.append({"typ_prvku_kod": "XX", "prvek_id": 1, "id_transakce": 2000})  # unknown code
+    rows.append(
+        {"typ_prvku_kod": "OB", "prvek_id": 999999999, "id_transakce": 2001}
+    )  # no match
+    return pd.DataFrame(rows)
+
+
+# ------------------------------------------------------------- Spark entry
+
+
+def spark_df(spark, pdf: pd.DataFrame, binary_cols: tuple[str, ...] = ()):
+    """createDataFrame with explicit binary handling (pandas 'object'
+    bytes columns infer fine, but None-heavy columns need the hint)."""
+    from pyspark.sql import types as T
+
+    schema = None
+    if binary_cols:
+        sample = spark.createDataFrame(pdf.head(2))
+        fields = []
+        for f in sample.schema.fields:
+            t = T.BinaryType() if f.name in binary_cols else f.dataType
+            fields.append(T.StructField(f.name, t, True))
+        schema = T.StructType(fields)
+    return spark.createDataFrame(pdf, schema=schema)
+
+
+def gen_webpages(spark, n: int = 10_000, seed: int = 42, **kw):
+    return spark.createDataFrame(gen_webpages_pdf(n, seed, **kw))
+
+
+def gen_obce(spark, seed: int = 42):
+    return spark_df(
+        spark,
+        gen_obce_pdf(seed),
+        binary_cols=("definicni_bod", "originalni_hranice", "generalizovane_hranice"),
+    )
+
+
+def gen_katastralni_uzemi(spark, seed: int = 42):
+    return spark_df(
+        spark,
+        gen_katastralni_uzemi_pdf(seed),
+        binary_cols=("definicni_bod", "originalni_hranice", "generalizovane_hranice"),
+    )
+
+
+def gen_parcely(spark, seed: int = 42, per_ku: int = 4):
+    return spark_df(
+        spark,
+        gen_parcely_pdf(seed, per_ku),
+        binary_cols=("definicni_bod", "originalni_hranice"),
+    )
+
+
+def gen_ulice(spark, seed: int = 42, per_obec: int = 2):
+    return spark_df(spark, gen_ulice_pdf(seed, per_obec), binary_cols=("definicni_cara",))
+
+
+def gen_changes(spark, seed: int = 42, **kw):
+    return spark.createDataFrame(gen_changes_pdf(seed, **kw))
+
+
+def gen_tombstones(spark, seed: int = 42, **kw):
+    return spark.createDataFrame(gen_tombstones_pdf(seed, **kw))

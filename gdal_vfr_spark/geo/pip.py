@@ -1,0 +1,221 @@
+"""Point-in-polygon join: broadcast packed polygon index + cell-cover
+equi-join + vectorized even-odd refinement.
+
+North-star operator J4 (SURVEY.md §2.3). The reference never computes
+containment — its data *carries* parent codes as FK columns
+(gfs/AdresniMista.gfs:63-80, gfs/Parcely.gfs:76-81); this operator
+re-derives them spatially, and the generated fixtures' ground-truth
+columns verify the output row-for-row.
+
+Execution shape (scale rationale):
+- The polygon side (admin layers: ~10^4-10^6 rows) is packed into flat
+  numpy arrays and broadcast once; the page side (10^12 rows) NEVER
+  shuffles: candidates come from a broadcast hash join on the cell id,
+  refinement is a map-only Arrow UDF. The whole join is embarrassingly
+  parallel over page partitions, which is what makes the >=0.8 scaling
+  efficiency achievable — there is no shuffle to contend on.
+- Megacity skew therefore cannot stall a reducer here; skew only
+  matters in downstream groupBys, where AQE skew-split + optional
+  salting (gdal_vfr_spark.operators.counts.salted_count) take over.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import BooleanType
+
+from gdal_vfr_spark.geo import cells, wkb
+
+
+@dataclass
+class PackedPolygonIndex:
+    """Flat-array ('packed STRtree'-style) polygon store, cheap to
+    broadcast and NaN-free to evaluate with numpy inside Arrow UDFs.
+
+    verts:     (V, 2) float64 — all ring vertices, concatenated
+    ring_off:  (R+1,) int64   — ring i is verts[ring_off[i]:ring_off[i+1]]
+    poly_ring: (P+1,) int64   — polygon p owns rings poly_ring[p]:poly_ring[p+1]
+    bbox:      (P, 4) float64 — per-polygon (xmin, ymin, xmax, ymax)
+    keys:      (P,)  int64    — user key (e.g. obec kod) per polygon
+    """
+
+    verts: np.ndarray
+    ring_off: np.ndarray
+    poly_ring: np.ndarray
+    bbox: np.ndarray
+    keys: np.ndarray
+
+    @classmethod
+    def build(cls, keys_and_wkb: list[tuple[int, bytes]]) -> "PackedPolygonIndex":
+        verts_list: list[np.ndarray] = []
+        ring_off = [0]
+        poly_ring = [0]
+        bboxes = []
+        keys = []
+        total = 0
+        for key, buf in keys_and_wkb:
+            rings = wkb.decode_rings(bytes(buf))
+            for r in rings:
+                verts_list.append(r)
+                total += len(r)
+                ring_off.append(total)
+            poly_ring.append(len(ring_off) - 1)
+            allv = np.concatenate(rings)
+            bboxes.append(
+                (allv[:, 0].min(), allv[:, 1].min(), allv[:, 0].max(), allv[:, 1].max())
+            )
+            keys.append(key)
+        return cls(
+            verts=np.concatenate(verts_list) if verts_list else np.empty((0, 2)),
+            ring_off=np.asarray(ring_off, dtype=np.int64),
+            poly_ring=np.asarray(poly_ring, dtype=np.int64),
+            bbox=np.asarray(bboxes, dtype=np.float64).reshape(-1, 4),
+            keys=np.asarray(keys, dtype=np.int64),
+        )
+
+    def contains_one(self, p: int, px: np.ndarray, py: np.ndarray) -> np.ndarray:
+        """Even-odd (crossing number) test of many points against
+        polygon p — fully vectorized over points x edges."""
+        inside = np.zeros(len(px), dtype=bool)
+        xmin, ymin, xmax, ymax = self.bbox[p]
+        cand = (px >= xmin) & (px <= xmax) & (py >= ymin) & (py <= ymax)
+        if not cand.any():
+            return inside
+        cx, cy = px[cand], py[cand]
+        acc = np.zeros(len(cx), dtype=np.int64)
+        for r in range(self.poly_ring[p], self.poly_ring[p + 1]):
+            ring = self.verts[self.ring_off[r] : self.ring_off[r + 1]]
+            x1, y1 = ring[:-1, 0], ring[:-1, 1]
+            x2, y2 = ring[1:, 0], ring[1:, 1]
+            # (E, N) broadcasting; admin rings are small (grid cells ~5
+            # vertices, real municipalities ~10^2-10^3), so E*batch fits
+            # comfortably in an Arrow batch's working set.
+            ycross = (y1[:, None] > cy[None, :]) != (y2[:, None] > cy[None, :])
+            with np.errstate(divide="ignore", invalid="ignore"):
+                xint = x1[:, None] + (cy[None, :] - y1[:, None]) / (y2 - y1)[:, None] * (
+                    x2 - x1
+                )[:, None]
+            acc += np.sum(ycross & (cx[None, :] < xint), axis=0)
+        inside[cand] = (acc % 2) == 1
+        return inside
+
+    def contains(self, pidx: np.ndarray, px: np.ndarray, py: np.ndarray) -> np.ndarray:
+        """Batched test: row i asks 'is (px[i], py[i]) inside polygon
+        pidx[i]?'. Groups by polygon so each polygon's edges are
+        evaluated once per batch."""
+        out = np.zeros(len(pidx), dtype=bool)
+        order = np.argsort(pidx, kind="stable")
+        sorted_p = pidx[order]
+        bounds = np.flatnonzero(np.diff(sorted_p)) + 1
+        for grp in np.split(order, bounds):
+            p = int(pidx[grp[0]])
+            out[grp] = self.contains_one(p, px[grp], py[grp])
+        return out
+
+    def cover(self, res: int) -> pd.DataFrame:
+        """(cell, pidx, key) cover table at resolution res: every cell
+        whose bbox intersects the polygon's bbox. Exactness is restored
+        by the refine step; the cover only bounds candidate fan-out."""
+        cells_out, pidx_out, key_out = [], [], []
+        for p in range(len(self.keys)):
+            cc = cells.cover_bbox(*self.bbox[p], res)
+            cells_out.append(cc)
+            pidx_out.append(np.full(len(cc), p, dtype=np.int64))
+            key_out.append(np.full(len(cc), self.keys[p], dtype=np.int64))
+        return pd.DataFrame(
+            {
+                "cell": np.concatenate(cells_out),
+                "pidx": np.concatenate(pidx_out),
+                "poly_key": np.concatenate(key_out),
+            }
+        )
+
+    def auto_res(self, target_cells_per_poly: float = 4.0) -> int:
+        """Pick a cover resolution: median polygon bbox ≈ target cells.
+        Coarser -> more refine work; finer -> wider cover table."""
+        if len(self.keys) == 0:
+            return 0
+        w = np.median(self.bbox[:, 2] - self.bbox[:, 0])
+        h = np.median(self.bbox[:, 3] - self.bbox[:, 1])
+        span = max(float(max(w, h)), 1e-12)
+        per_side = max(target_cells_per_poly**0.5, 1.0)
+        res = int(np.floor(np.log2(360.0 / span * per_side)))
+        return int(np.clip(res, 0, cells.MAX_RES))
+
+
+def build_index(
+    polys_df: DataFrame, key_col: str, geom_col: str
+) -> PackedPolygonIndex:
+    """Collect the (small) polygon side and pack it. At 100 TB the
+    polygon side is the dimension table — collecting it to the driver
+    and broadcasting is the intended strategy (SURVEY.md §4 item 3)."""
+    rows = polys_df.select(key_col, geom_col).where(F.col(geom_col).isNotNull()).collect()
+    return PackedPolygonIndex.build([(int(r[0]), bytes(r[1])) for r in rows])
+
+
+def point_in_polygon_join(
+    points_df: DataFrame,
+    polys_df: DataFrame,
+    poly_key: str,
+    geom_col: str = "geometry",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    res: int | None = None,
+    how: str = "inner",
+    out_key: str | None = None,
+) -> DataFrame:
+    """points ⋈_contains polys → points columns + `out_key` (polygon key).
+
+    how='inner' drops non-matching points; how='left' keeps them with a
+    NULL key (the reference's keep-and-count semantics for features
+    without geometry, vfrogr.py:592-598).
+    """
+    out_key = out_key or poly_key
+    spark = points_df.sparkSession
+    index = build_index(polys_df, poly_key, geom_col)
+    if res is None:
+        res = index.auto_res()
+    bc = spark.sparkContext.broadcast(index)
+
+    if len(index.keys) == 0:
+        # empty dimension side: inner join is empty; left join keeps
+        # all points with a NULL key
+        empty_key = F.lit(None).cast("long").alias(out_key)
+        if how == "inner":
+            return points_df.withColumn(out_key, empty_key).limit(0)
+        return points_df.withColumn(out_key, empty_key)
+
+    cover_sdf = spark.createDataFrame(index.cover(res))
+
+    pts = cells.with_cell(points_df, res, lon_col, lat_col, out_col="__cell")
+    cand = pts.join(
+        F.broadcast(cover_sdf), on=pts["__cell"] == cover_sdf["cell"], how="inner"
+    ).drop("cell")
+
+    @F.pandas_udf(BooleanType())
+    def _refine(lon: pd.Series, lat: pd.Series, pidx: pd.Series) -> pd.Series:
+        idx: PackedPolygonIndex = bc.value
+        return pd.Series(
+            idx.contains(
+                pidx.to_numpy(dtype=np.int64),
+                lon.to_numpy(dtype=np.float64),
+                lat.to_numpy(dtype=np.float64),
+            )
+        )
+
+    hits = (
+        cand.withColumn("__hit", _refine(F.col(lon_col), F.col(lat_col), F.col("pidx")))
+        .where(F.col("__hit"))
+        .drop("__hit", "pidx", "__cell")
+        .withColumnRenamed("poly_key", out_key)
+    )
+    if how == "inner":
+        return hits
+    if how == "left":
+        keyed = hits.select(*points_df.columns, out_key)
+        return points_df.join(keyed, on=points_df.columns, how="left")
+    raise ValueError(f"unsupported how={how!r}")

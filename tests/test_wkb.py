@@ -1,0 +1,38 @@
+import numpy as np
+
+from gdal_vfr_spark.geo import wkb
+
+
+def test_point_roundtrip():
+    b = wkb.point(14.25, 50.5)
+    assert wkb.geom_type(b) == wkb.POINT
+    assert wkb.decode_point(b) == (14.25, 50.5)
+
+
+def test_polygon_roundtrip():
+    ring = np.asarray([[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]], dtype=float)
+    hole = np.asarray([[1, 1], [2, 1], [2, 2], [1, 2], [1, 1]], dtype=float)
+    b = wkb.polygon([ring, hole])
+    rings = wkb.decode_rings(b)
+    assert len(rings) == 2
+    assert np.allclose(rings[0], ring) and np.allclose(rings[1], hole)
+    assert wkb.bbox(b) == (0.0, 0.0, 4.0, 4.0)
+
+
+def test_multipolygon_roundtrip():
+    r1 = np.asarray([[0, 0], [1, 0], [1, 1], [0, 1], [0, 0]], dtype=float)
+    r2 = np.asarray([[5, 5], [6, 5], [6, 6], [5, 6], [5, 5]], dtype=float)
+    b = wkb.multipolygon([[r1], [r2]])
+    rings = wkb.decode_rings(b)
+    assert len(rings) == 2
+    assert wkb.bbox(b) == (0.0, 0.0, 6.0, 6.0)
+
+
+def test_multipoint_and_lines():
+    mp = wkb.multipoint([[1, 2], [3, 4]])
+    pts = wkb.decode_points(mp)
+    assert np.allclose(pts, [[1, 2], [3, 4]])
+    ml = wkb.multilinestring([np.asarray([[0, 0], [1, 1]]), np.asarray([[2, 2], [3, 3]])])
+    lines = wkb.decode_lines(ml)
+    assert len(lines) == 2 and np.allclose(lines[1], [[2, 2], [3, 3]])
+    assert wkb.bbox(ml) == (0.0, 0.0, 3.0, 3.0)

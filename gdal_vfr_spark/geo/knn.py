@@ -1,0 +1,263 @@
+"""kNN join via k-ring cell expansion + distance-bounded merge (J5).
+
+Not in the reference (SURVEY.md §2.3 J5) — required by the north star:
+"kNN via k-ring cell expansion with a distance-bounded heap merge".
+
+Execution shape: the target set (streets / municipality centroids — the
+dimension side) is packed into cell-bucketed numpy arrays and broadcast;
+the query side maps over Arrow batches with NO shuffle. Inside a batch,
+candidates are gathered ring-by-ring with vectorized bucket lookups
+(sorted-cell searchsorted, never per-row Python); a point is finished
+when its kth distance is within the ring's guarantee radius, and the
+few stragglers fall back to a vectorized brute-force pass — so results
+are EXACT, not approximate.
+
+Distance: planar squared-euclidean on lon/lat degrees (documented
+engine-wide; deterministic — products/sums of float64 only, no libm
+trig), ties broken by target key then insertion order.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+from gdal_vfr_spark.geo import cells
+
+
+@dataclass
+class PackedPointIndex:
+    """Cell-bucketed target points: arrays sorted by cell id so a cell's
+    bucket is one searchsorted range."""
+
+    x: np.ndarray  # (N,) float64, sorted by cell
+    y: np.ndarray
+    keys: np.ndarray  # (N,) int64
+    cell_ids: np.ndarray  # (N,) int64 sorted
+    res: int
+
+    @classmethod
+    def build(cls, x, y, keys, res: int) -> "PackedPointIndex":
+        x = np.asarray(x, dtype=np.float64)
+        y = np.asarray(y, dtype=np.float64)
+        keys = np.asarray(keys, dtype=np.int64)
+        cell_ids = cells.cell_encode(x, y, res)
+        order = np.lexsort((keys, cell_ids))
+        return cls(x[order], y[order], keys[order], cell_ids[order], res)
+
+    def ring_candidates(self, ix: np.ndarray, iy: np.ndarray, r: int):
+        """For query grid coords (ix, iy), return ragged candidate index
+        lists for all targets in cells at Chebyshev distance exactly r
+        (r=0 → own cell). Vectorized: one searchsorted per ring offset."""
+        n = np.int64(1) << np.int64(self.res)
+        offs = []
+        if r == 0:
+            offs = [(0, 0)]
+        else:
+            for d in range(-r, r + 1):
+                offs += [(d, -r), (d, r)]
+            for d in range(-r + 1, r):
+                offs += [(-r, d), (r, d)]
+        cand_idx: list[np.ndarray] = []
+        cand_q: list[np.ndarray] = []
+        for dx, dy in offs:
+            cx = ix + dx
+            cy = iy + dy
+            ok = (cx >= 0) & (cx < n) & (cy >= 0) & (cy < n)
+            if not ok.any():
+                continue
+            cid = (cells.morton_encode(cx[ok], cy[ok]) << np.int64(5)) | np.int64(self.res)
+            lo = np.searchsorted(self.cell_ids, cid, side="left")
+            hi = np.searchsorted(self.cell_ids, cid, side="right")
+            lens = hi - lo
+            nz = lens > 0
+            if not nz.any():
+                continue
+            qidx = np.flatnonzero(ok)[nz]
+            starts, counts = lo[nz], lens[nz]
+            flat = np.concatenate([np.arange(s, s + c) for s, c in zip(starts, counts)])
+            cand_idx.append(flat)
+            cand_q.append(np.repeat(qidx, counts))
+        if not cand_idx:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        return np.concatenate(cand_idx), np.concatenate(cand_q)
+
+
+def _topk_merge(qi, ti, d2, keys, k, nq):
+    """Per-query top-k from ragged (query, target, dist2) triples.
+    Sorted merge (lexsort) — the vectorized equivalent of a bounded
+    heap; deterministic tie-break on (dist2, key)."""
+    order = np.lexsort((keys[ti], d2, qi))
+    qs, ts, ds = qi[order], ti[order], d2[order]
+    # rank within query group
+    first = np.ones(len(qs), dtype=bool)
+    first[1:] = qs[1:] != qs[:-1]
+    grp_start = np.flatnonzero(first)
+    rank = np.arange(len(qs)) - np.repeat(grp_start, np.diff(np.append(grp_start, len(qs))))
+    keep = rank < k
+    return qs[keep], ts[keep], ds[keep], rank[keep]
+
+
+def knn_batch(
+    idx: PackedPointIndex, qx: np.ndarray, qy: np.ndarray, k: int, max_ring: int = 8
+):
+    """Exact kNN of query points against the packed index.
+
+    Returns (query_row, target_key, dist2, rank) arrays. Expands rings
+    until the kth best distance is certified ≤ the unsearched region's
+    minimum possible distance; remaining points brute-force.
+    """
+    nq = len(qx)
+    ix, iy = cells.lonlat_to_grid(qx, qy, idx.res)
+    n_grid = 1 << idx.res
+    cell_w = 360.0 / n_grid
+    cell_h = 180.0 / n_grid
+    guard = min(cell_w, cell_h)
+
+    best_q = np.empty(0, np.int64)
+    best_t = np.empty(0, np.int64)
+    best_d = np.empty(0, np.float64)
+    acc_q: list[np.ndarray] = []
+    acc_t: list[np.ndarray] = []
+    acc_d: list[np.ndarray] = []
+    active = np.arange(nq, dtype=np.int64)
+    max_possible_ring = int(np.ceil(n_grid))
+
+    for r in range(0, max_ring + 1):
+        if len(active) == 0:
+            break
+        ti, qpos = idx.ring_candidates(ix[active], iy[active], r)
+        if len(ti):
+            qglob = active[qpos]
+            dx = idx.x[ti] - qx[qglob]
+            dy = idx.y[ti] - qy[qglob]
+            acc_q.append(qglob)
+            acc_t.append(ti)
+            acc_d.append(dx * dx + dy * dy)
+        # certification: a target beyond ring r is at distance >= r*guard
+        if acc_q:
+            all_q = np.concatenate(acc_q)
+            all_t = np.concatenate(acc_t)
+            all_d = np.concatenate(acc_d)
+            counts = np.bincount(all_q, minlength=nq)
+            # kth distance per active query (inf if < k candidates)
+            kth = np.full(nq, np.inf)
+            if len(all_q):
+                oq, ot, od, orank = _topk_merge(all_q, all_t, all_d, idx.keys, k, nq)
+                last = orank == np.minimum(counts[oq] - 1, k - 1)
+                kth_vals = od[last]
+                kth_q = oq[last]
+                kth[kth_q] = np.where(counts[kth_q] >= k, kth_vals, np.inf)
+            certified = np.sqrt(kth[active]) <= r * guard
+            done = active[certified]
+            active = active[~certified]
+            if r >= max_ring and len(active):
+                break
+        if r >= max_possible_ring:
+            active = active[:0]
+            break
+
+    # finalize ring-certified results
+    if acc_q:
+        all_q = np.concatenate(acc_q)
+        all_t = np.concatenate(acc_t)
+        all_d = np.concatenate(acc_d)
+        done_mask = np.ones(nq, dtype=bool)
+        done_mask[active] = False
+        sel = done_mask[all_q]
+        best_q, best_t, best_d, best_r = _topk_merge(
+            all_q[sel], all_t[sel], all_d[sel], idx.keys, k, nq
+        )
+    else:
+        best_r = np.empty(0, np.int64)
+
+    # brute-force stragglers (uncertified after max_ring)
+    if len(active):
+        chunk = max(1, int(2e7 / max(len(idx.x), 1)))
+        bq, bt, bd, br = [], [], [], []
+        for s in range(0, len(active), chunk):
+            a = active[s : s + chunk]
+            dx = idx.x[None, :] - qx[a][:, None]
+            dy = idx.y[None, :] - qy[a][:, None]
+            d2 = dx * dx + dy * dy
+            kk = min(k, d2.shape[1])
+            part = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
+            qi = np.repeat(a, kk)
+            ti = part.ravel()
+            di = d2[np.repeat(np.arange(len(a)), kk), ti]
+            q2, t2, d2f, r2 = _topk_merge(qi, ti, di, idx.keys, k, nq)
+            bq.append(q2), bt.append(t2), bd.append(d2f), br.append(r2)
+        best_q = np.concatenate([best_q] + bq)
+        best_t = np.concatenate([best_t] + bt)
+        best_d = np.concatenate([best_d] + bd)
+        best_r = np.concatenate([best_r] + br)
+
+    return best_q, idx.keys[best_t], best_d, best_r
+
+
+def knn_join(
+    points_df: DataFrame,
+    targets_df: DataFrame,
+    k: int,
+    target_key: str,
+    target_lon: str = "lon",
+    target_lat: str = "lat",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    res: int | None = None,
+    id_col: str = "url",
+    max_ring: int = 8,
+) -> DataFrame:
+    """For each point, its k nearest targets: (id_col, neighbor_key,
+    dist2, rank). Map-only over the point side; targets broadcast."""
+    spark = points_df.sparkSession
+    rows = (
+        targets_df.select(target_key, target_lon, target_lat)
+        .where(F.col(target_lon).isNotNull() & F.col(target_lat).isNotNull())
+        .collect()
+    )
+    tx = np.asarray([r[1] for r in rows], dtype=np.float64)
+    ty = np.asarray([r[2] for r in rows], dtype=np.float64)
+    tk = np.asarray([r[0] for r in rows], dtype=np.int64)
+    if res is None:
+        # aim for ~2 targets per cell: res s.t. 4^res ≈ n_targets/2
+        res = int(np.clip(np.ceil(np.log2(max(len(tk), 2)) / 2) + 1, 3, cells.MAX_RES))
+    idx = PackedPointIndex.build(tx, ty, tk, res)
+    bc = spark.sparkContext.broadcast(idx)
+
+    id_field = points_df.schema[id_col]
+    out_schema = T.StructType(
+        [
+            id_field,
+            T.StructField("neighbor_key", T.LongType()),
+            T.StructField("dist2", T.DoubleType()),
+            T.StructField("rank", T.IntegerType()),
+        ]
+    )
+
+    src = points_df.select(id_col, lon_col, lat_col).where(
+        F.col(lon_col).isNotNull() & F.col(lat_col).isNotNull()
+    )
+
+    def _map(batches):
+        index: PackedPointIndex = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            qx = pdf[lon_col].to_numpy(dtype=np.float64)
+            qy = pdf[lat_col].to_numpy(dtype=np.float64)
+            qi, keys, d2, rank = knn_batch(index, qx, qy, k, max_ring=max_ring)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy()[qi],
+                    "neighbor_key": keys,
+                    "dist2": d2,
+                    "rank": rank.astype(np.int32),
+                }
+            )
+
+    return src.mapInPandas(_map, schema=out_schema)

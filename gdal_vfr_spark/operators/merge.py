@@ -1,0 +1,225 @@
+"""Mutation / maintenance operators — the reference's core value
+(SURVEY.md §2.8 M1-M7 and §2.3 J1-J3).
+
+The reference applies daily VFR change files with delete-before-insert
+cursor loops inside one transaction (vfrogr.py:543-613). Here the whole
+change pass is ONE declarative merge: classify (left join) -> dedup
+current (window) -> anti-join deletes -> upsert. On Iceberg this maps
+1:1 to `MERGE INTO current USING changes ON key WHEN MATCHED AND
+action='delete' THEN DELETE WHEN MATCHED THEN UPDATE SET * WHEN NOT
+MATCHED THEN INSERT *`; this sandbox has no Iceberg runtime, so
+ParquetTable implements the same semantics read-merge-overwrite with an
+atomic directory swap (same commit granularity the reference gets from
+its per-layer transaction, vfrogr.py:543-544,:611-613).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+# vfrogr.py:38-43 Mode class
+MODE_WRITE = "write"
+MODE_APPEND = "append"
+MODE_CHANGE = "change"
+
+# Deletion-code -> layer routing map (vfrogr.py:846-865). 18 entries +
+# legacy 'Kraje' code; keys are the TypPrvkuKod values carried by
+# ZaniklePrvky tombstones.
+LAYER_CODES = {
+    "ST": "staty",
+    "RS": "regionysoudrznosti",
+    "KR": "kraje",
+    "VC": "vusc",
+    "OK": "okresy",
+    "OP": "orp",
+    "PU": "pou",
+    "OB": "obce",
+    "SP": "spravniobvody",
+    "MP": "mop",
+    "MC": "momc",
+    "CO": "castiobci",
+    "KU": "katastralniuzemi",
+    "ZJ": "zsj",
+    "UL": "ulice",
+    "PA": "parcely",
+    "SO": "stavebniobjekty",
+    "AD": "adresnimista",
+}
+
+
+def decide_mode(batch_name: str, append_flag: bool = False) -> str:
+    """M1 — mode dispatch (vfrogr.py:992-1003): last underscore-
+    component of the batch/file name starting with 'Z' => change mode;
+    --append => append; else full write."""
+    stem = os.path.basename(batch_name).split(".")[0]
+    last = stem.split("_")[-1]
+    if last.upper().startswith("Z"):
+        return MODE_CHANGE
+    return MODE_APPEND if append_flag else MODE_WRITE
+
+
+def classify_changes(
+    changes: DataFrame, current: DataFrame, key: str = "gml_id"
+) -> DataFrame:
+    """J1 — upsert classification (vfrogr.py:793-836): left-outer join
+    of incoming changes against current state; matched -> 'update',
+    unmatched -> 'add'. The changes side is small (daily deltas), so the
+    join broadcasts current's key projection when feasible — at 10^12
+    rows current's keys do NOT broadcast, and this becomes a SMJ on the
+    key; either way it is one join, not per-row probes."""
+    cur_keys = current.select(F.col(key)).distinct()
+    return changes.join(cur_keys.withColumn("__matched", F.lit(1)), on=key, how="left").withColumn(
+        "action",
+        F.when(F.col("__matched").isNull(), F.lit("add")).otherwise(F.lit("update")),
+    ).drop("__matched")
+
+
+def dedup_current(
+    current: DataFrame, key: str = "gml_id", order_col: str = "fid"
+) -> DataFrame:
+    """J3 — duplicate natural keys in current state: keep the first FID,
+    drop the rest (vfrogr.py:817-829). Must run BEFORE merge or a true
+    MERGE raises on multiple matches (SURVEY.md §7.3)."""
+    w = Window.partitionBy(key).orderBy(F.col(order_col).asc())
+    return (
+        current.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def tombstone_keys(tombstones: DataFrame) -> DataFrame:
+    """J2 prep — ZaniklePrvky (code, id) -> (layer, gml_id) with the
+    reference's key synthesis '{lcode}.{PrvekId}' (vfrogr.py:885) and
+    code routing (vfrogr.py:846-865). Unknown codes are kept with layer
+    NULL so callers can log them (error path vfrogr.py:877-881)."""
+    mapping = F.create_map(*[F.lit(x) for pair in LAYER_CODES.items() for x in pair])
+    return tombstones.select(
+        mapping[F.col("typ_prvku_kod")].alias("layer"),
+        F.concat_ws(".", F.col("typ_prvku_kod"), F.col("prvek_id")).alias("gml_id"),
+        F.col("id_transakce"),
+    )
+
+
+def apply_tombstones(
+    current: DataFrame, tombstones: DataFrame, layer: str, key: str = "gml_id"
+) -> DataFrame:
+    """J2 — delete via tombstones: anti-join current against the
+    tombstone keys routed to this layer (vfrogr.py:838-915)."""
+    keys = tombstone_keys(tombstones).where(F.col("layer") == layer).select(key)
+    return current.join(keys, on=key, how="left_anti")
+
+
+def apply_changes(
+    current: DataFrame,
+    changes: DataFrame,
+    key: str = "gml_id",
+    delete_action: str = "delete",
+) -> DataFrame:
+    """M3 — the full change merge (vfrogr.py:546-580,617-627):
+    * rows of current whose key appears in changes are removed
+      (delete-before-insert, vfrogr.py:567-568)
+    * change rows with action != delete are inserted (updates keep
+      their key; adds bring new keys)
+    Input `changes` must carry an `action` column (classify_changes) and
+    current-compatible payload columns. Equivalent Iceberg statement in
+    the module docstring."""
+    payload_cols = [c for c in changes.columns if c in current.columns]
+    survivors = current.join(changes.select(key).distinct(), on=key, how="left_anti")
+    inserts = changes.where(F.col("action") != delete_action).select(*payload_cols)
+    # a change batch may carry the same key more than once; the merged
+    # state holds exactly one row per key (the reference applies them
+    # sequentially so the last wins, vfrogr.py:556-580 — distributed
+    # scans have no arrival order, so survivorship is deterministic on
+    # a payload hash instead; documented deviation like FIDs §7.3)
+    w = Window.partitionBy(key).orderBy(F.xxhash64(*[F.col(c) for c in payload_cols]))
+    inserts = inserts.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop(
+        "__rn"
+    )
+    missing = [c for c in current.columns if c not in payload_cols]
+    for c in missing:
+        inserts = inserts.withColumn(c, F.lit(None).cast(current.schema[c].dataType))
+    return survivors.unionByName(inserts.select(*current.columns))
+
+
+def assign_fids(df: DataFrame, key: str = "gml_id", fid_col: str = "fid") -> DataFrame:
+    """§2.5 — deterministic FID: row_number over the natural key. The
+    reference assigns FIDs by arrival order (vfrogr.py:582,:601-603);
+    arrival order doesn't exist in a distributed scan, so FIDs are
+    derived from the key order instead (documented deviation,
+    SURVEY.md §7.3: values differ, row content identical)."""
+    w = Window.orderBy(F.col(key).asc())
+    return df.withColumn(fid_col, F.row_number().over(w))
+
+
+class ParquetTable:
+    """Minimal transactional table: parquet directory + atomic swap.
+
+    Stands in for an Iceberg table in this sandbox. write/append/merge
+    commit by writing to a staging dir and renaming — readers see the
+    old or the new snapshot, never a torn one (the reference's
+    per-layer transaction, vfrogr.py:543-544,:611-613).
+    """
+
+    def __init__(self, spark, path: str):
+        self.spark = spark
+        self.path = path
+
+    def exists(self) -> bool:
+        return os.path.exists(self.path)
+
+    def read(self) -> DataFrame:
+        return self.spark.read.parquet(self.path)
+
+    def _commit(self, df: DataFrame) -> None:
+        staging = f"{self.path}.__staging_{uuid.uuid4().hex[:8]}"
+        df.write.mode("overwrite").parquet(staging)
+        old = f"{self.path}.__old_{uuid.uuid4().hex[:8]}"
+        if os.path.exists(self.path):
+            os.rename(self.path, old)
+        os.rename(staging, self.path)
+        if os.path.exists(old):
+            shutil.rmtree(old)
+
+    def write(self, df: DataFrame, overwrite: bool = False) -> None:
+        """M2 — create-or-replace. Without overwrite, an existing table
+        raises (the reference's 'already exists... use --overwrite or
+        --append' skip, vfrogr.py:474-476)."""
+        if self.exists() and not overwrite:
+            raise FileExistsError(
+                f"{self.path} already exists; use overwrite=True or append()"
+            )
+        self._commit(df)
+
+    def append(self, df: DataFrame) -> None:
+        """SO2 — append mode: unionByName with current snapshot (the
+        reference's Mode.append, vfrogr.py:42,:999-1000). Plain
+        directory-append would also work; snapshot-union keeps commit
+        semantics uniform."""
+        if self.exists():
+            df = self.read().unionByName(df)
+        self._commit(df)
+
+    def merge(self, changes: DataFrame, key: str = "gml_id") -> DataFrame:
+        """M3 — full change pass: classify -> dedup -> apply -> commit.
+        Returns the change tally (A3) so callers can log it like the
+        reference's summary (vfrogr.py:617-627)."""
+        if not self.exists():
+            classified = changes.withColumn("action", F.lit("add"))
+            merged = apply_changes(
+                self.spark.createDataFrame([], changes.drop("action").schema),
+                classified,
+                key=key,
+            )
+        else:
+            current = dedup_current(self.read(), key=key, order_col=key)
+            classified = classify_changes(changes, current, key=key)
+            merged = apply_changes(current, classified, key=key)
+        tally = classified.groupBy("action").agg(F.count("*").alias("n"))
+        tally_rows = tally.collect()
+        self._commit(merged)
+        return self.spark.createDataFrame(tally_rows, tally.schema)

@@ -1,0 +1,137 @@
+"""Replays the reference test-suite pass structure (SURVEY.md §5,
+test_suite/test-single.sh:32-50 and test-changes.sh:33-36):
+import / idempotent re-run / overwrite unchanged / append doubles /
+change-merge idempotence / tombstone delete."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from gdal_vfr_spark import datagen
+from gdal_vfr_spark.operators import merge as M
+from gdal_vfr_spark.operators import counts, projections, setops
+
+
+def obce_state(spark, seed=42):
+    df = datagen.gen_obce(spark, seed=seed)
+    return df.withColumn("gml_id", F.concat_ws(".", F.lit("OB"), F.col("kod"))).select(
+        "gml_id", "kod", "nazev", "nespravny"
+    )
+
+
+def test_decide_mode():
+    assert M.decide_mode("20240707_ST_ZKSH.xml.gz") == M.MODE_CHANGE
+    assert M.decide_mode("20240630_OB_500011_UKSH.xml.gz") == M.MODE_WRITE
+    assert M.decide_mode("20240630_OB_500011_UKSH.xml.gz", append_flag=True) == M.MODE_APPEND
+    assert M.decide_mode("/some/dir/20140707_ST_UVOH.xml.zip") == M.MODE_WRITE
+
+
+def test_write_append_overwrite_passes(spark, tmp_path):
+    t = M.ParquetTable(spark, str(tmp_path / "obce"))
+    state = obce_state(spark)
+    n = state.count()
+
+    t.write(state)  # pass 1: import into empty
+    assert t.read().count() == n
+
+    with pytest.raises(FileExistsError):  # pass 2: re-run refuses (idempotent)
+        t.write(state)
+    assert t.read().count() == n
+
+    t.write(state, overwrite=True)  # pass 3: overwrite, counts unchanged
+    assert t.read().count() == n
+
+    t.append(state)  # pass 4: append doubles counts
+    assert t.read().count() == 2 * n
+
+
+def test_change_merge_add_then_idempotent_update(spark, tmp_path):
+    """test-changes.sh: pass 1 into empty = all adds; re-apply = all
+    updates, row count stable (idempotent merge)."""
+    t = M.ParquetTable(spark, str(tmp_path / "obce"))
+    state = obce_state(spark)
+    t.write(state)
+    n = state.count()
+
+    changes = datagen.gen_changes(spark, n_add=20, n_update=30)
+    tally1 = {r["action"]: r["n"] for r in t.merge(changes, key="gml_id").collect()}
+    assert tally1 == {"add": 20, "update": 30}
+    assert t.read().count() == n + 20
+    # updated rows carry new payload
+    assert t.read().where(F.col("nazev").endswith("v2")).count() == 30
+
+    tally2 = {r["action"]: r["n"] for r in t.merge(changes, key="gml_id").collect()}
+    assert tally2 == {"update": 50}
+    assert t.read().count() == n + 20
+
+
+def test_merge_into_empty_is_all_adds(spark, tmp_path):
+    t = M.ParquetTable(spark, str(tmp_path / "fresh"))
+    changes = datagen.gen_changes(spark, n_add=5, n_update=0)
+    tally = {r["action"]: r["n"] for r in t.merge(changes).collect()}
+    assert tally == {"add": 5}
+    assert t.read().count() == 5
+
+
+def test_dedup_current_keeps_first_fid(spark):
+    pdf = pd.DataFrame(
+        {
+            "gml_id": ["OB.1", "OB.1", "OB.2"],
+            "fid": [7, 3, 9],
+            "nazev": ["dup-late", "dup-early", "x"],
+        }
+    )
+    out = M.dedup_current(spark.createDataFrame(pdf)).orderBy("gml_id").collect()
+    assert [(r["gml_id"], r["fid"]) for r in out] == [("OB.1", 3), ("OB.2", 9)]
+
+
+def test_tombstone_routing_and_delete(spark):
+    tomb = datagen.gen_tombstones(spark, n=10)
+    routed = M.tombstone_keys(tomb)
+    assert routed.where("layer is null").count() == 1  # unknown code 'XX'
+    assert routed.where("layer = 'obce'").count() == 9
+
+    state = obce_state(spark)
+    n = state.count()
+    after = M.apply_tombstones(state, tomb, layer="obce")
+    # 8 real deletes (one tombstone id has no match -> warn path)
+    assert after.count() == n - 8
+
+
+def test_assign_fids_deterministic(spark):
+    state = obce_state(spark)
+    a = M.assign_fids(state).select("gml_id", "fid").collect()
+    b = M.assign_fids(state.orderBy(F.rand(7))).select("gml_id", "fid").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_geometry_coalesce_chain(spark):
+    obce = datagen.gen_obce(spark)
+    # default chain prefers generalizovane -> originalni -> bod
+    out = projections.geometry_coalesce(obce)
+    assert out.where("geometry is null").count() == 0
+    # preferred=originalni always present in fixture
+    out2 = projections.geometry_coalesce(obce, preferred="originalni_hranice")
+    orig = obce.select(F.col("originalni_hranice").alias("g")).collect()
+    got = out2.select(F.col("geometry").alias("g")).collect()
+    assert {bytes(r["g"]) for r in got} == {bytes(r["g"]) for r in orig}
+    with pytest.raises(ValueError):
+        projections.geometry_coalesce(obce, preferred="nope")
+
+
+def test_geometry_presence_counts(spark):
+    obce = datagen.gen_obce(spark)
+    row = counts.geometry_presence(
+        obce, ["definicni_bod", "originalni_hranice", "generalizovane_hranice"]
+    ).first()
+    assert row["n_total"] == 100
+    assert row["n_definicni_bod"] == 100
+    assert row["n_originalni_hranice"] == 100
+    assert 50 < row["n_generalizovane_hranice"] < 90  # ~30% null
+
+
+def test_symmetric_diff(spark):
+    a = spark.createDataFrame(pd.DataFrame({"name": ["x", "y", "z"]}))
+    b = spark.createDataFrame(pd.DataFrame({"name": ["y", "w"]}))
+    out = [(r["diff"], r["name"]) for r in setops.symmetric_diff(a, b).collect()]
+    assert out == [("+", "x"), ("+", "z"), ("-", "w")]

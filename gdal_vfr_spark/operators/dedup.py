@@ -1,0 +1,232 @@
+"""Deduplication family for web-scale training-data pipelines.
+
+Exact (hash groupBy), MinHash+LSH (shingle -> signature -> band ->
+bucket self-join), SimHash (bitwise majority over token hashes), and
+exact n-gram Jaccard verification for candidate pairs. All hot paths
+are built-in Catalyst expressions (JVM, codegen) — no Python UDFs —
+which also makes them DuckDB-oracle-checkable.
+
+Scale notes (100 TB):
+- exact_dedup shuffles once on a 128-bit content hash; AQE skew-split
+  handles boilerplate-heavy hash collisions groups.
+- LSH self-join shuffles on band keys; band buckets are tiny by
+  construction (b*r tuned for the similarity threshold), so the
+  pair-explosion is bounded; a hot bucket (exact-duplicate cluster)
+  is exactly what exact_dedup removes first — run it upstream.
+- simhash is a pure map + single groupBy; near-dup query is a
+  Hamming-ball probe over rotated keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from gdal_vfr_spark.functions.text_expr import (
+    band_keys_expr,
+    minhash_signature_expr,
+    shingles_expr,
+    tokens_expr,
+)
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the smallest id per exact text content (md5 group key)."""
+    return (
+        df.withColumn("__h", F.md5(F.col(text_col)))
+        .groupBy("__h")
+        .agg(F.min(F.col(id_col)).alias(id_col), F.count("*").alias("n_dups"))
+        .drop("__h")
+    )
+
+
+def with_minhash(
+    df: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 16,
+    shingle_n: int = 5,
+    out_col: str = "minhash",
+) -> DataFrame:
+    return df.withColumn(
+        out_col, minhash_signature_expr(shingles_expr(text_col, shingle_n), num_hashes)
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """Candidate near-dup pairs (a < b) sharing >=1 LSH band bucket,
+    with the MinHash Jaccard estimate (fraction of agreeing signature
+    positions). bands*rows == num_hashes."""
+    rows = num_hashes // bands
+    if bands * rows != num_hashes:
+        raise ValueError("bands must divide num_hashes")
+    sig = with_minhash(df, text_col, num_hashes, shingle_n).select(
+        F.col(id_col), F.col("minhash"), band_keys_expr(F.col("minhash"), bands, rows).alias("bk")
+    )
+    exploded = sig.select(id_col, "minhash", F.explode("bk").alias("band_key"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    pairs = (
+        a.join(b, on="band_key")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.minhash").alias("mh_a"),
+            F.col("b.minhash").alias("mh_b"),
+        )
+        .distinct()
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("mh_a"), F.col("mh_b"), lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    )
+    return pairs.withColumn(
+        "jaccard_est", (agree.cast("double") / F.lit(float(num_hashes)))
+    ).drop("mh_a", "mh_b")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 5,
+) -> DataFrame:
+    """EXACT Jaccard over distinct n-gram shingle sets for candidate
+    pairs — the verification stage after LSH. |A ∩ B| / |A ∪ B| via two
+    broadcast-able joins against the shingle-set table."""
+    sh = df.select(
+        F.col(id_col), shingles_expr(text_col, shingle_n).alias("sh"), F.length(text_col)
+    ).select(id_col, F.col("sh"), F.size("sh").alias("n_sh"))
+    a = sh.select(
+        F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"), F.col("n_sh").alias("na")
+    )
+    b = sh.select(
+        F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"), F.col("n_sh").alias("nb")
+    )
+    joined = pairs.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    return joined.select(
+        "id_a",
+        "id_b",
+        (inter.cast("double") / (F.col("na") + F.col("nb") - inter).cast("double")).alias(
+            "jaccard"
+        ),
+    )
+
+
+_HEX = "0123456789abcdef"
+
+
+def _simhash_expr(text_col: str, bits: int = 64) -> F.Column:
+    """SimHash over tokens: token hash = first bits/4 hex chars of
+    md5(token); bit j of the fingerprint = majority vote (+1/-1,
+    weighted by token multiplicity) of bit j across token hashes.
+    Pure Catalyst: per-token bit extraction via instr on hex chars,
+    aggregate fold per bit. DuckDB twin mirrors the same structure.
+    """
+    tokens = tokens_expr(text_col)
+    hexes = F.transform(tokens, lambda t: F.substring(F.md5(t), 1, bits // 4))
+
+    def _bit_votes(h):
+        # per-hash ±1 vote vector: bit j (MSB-first) of nibble j//4
+        def vote(j):
+            nibble = F.instr(F.lit(_HEX), F.substring(h, (j / 4 + 1).cast("int"), 1)) - F.lit(1)
+            bitpos = F.lit(3) - (j % 4)
+            bit = F.floor(nibble / F.pow(F.lit(2.0), bitpos.cast("double"))).cast("int") % 2
+            return F.when(bit == 1, F.lit(1)).otherwise(F.lit(-1))
+
+        return F.transform(F.sequence(F.lit(0), F.lit(bits - 1)), vote)
+
+    votes = F.aggregate(
+        hexes,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, h: F.zip_with(acc, _bit_votes(h), lambda a, b: a + b),
+    )
+    # pack MSB-first into a bigint (fold with shiftleft keeps it one
+    # expression, not 64 column objects)
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(bits)),
+        F.lit(0).cast("long"),
+        lambda acc, i: F.shiftleft(acc, 1).bitwiseOR(
+            F.when(F.element_at(votes, i.cast("int")) > 0, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+        ),
+    )
+
+
+def with_simhash(
+    df: DataFrame, text_col: str = "text", bits: int = 64, out_col: str = "simhash"
+) -> DataFrame:
+    """64-bit SimHash fingerprint column. Near-dup = small Hamming
+    distance; query via bit_count(a ^ b) <= d on candidate pairs."""
+    return df.withColumn(out_col, _simhash_expr(text_col, bits))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bits: int = 64,
+    block_bits: int = 16,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: block on each of the 4 16-bit chunks
+    (pigeonhole: hamming<=3 over 4 chunks → at least one chunk equal),
+    then verify exact Hamming distance with bit_count(xor)."""
+    nblocks = bits // block_bits
+    if max_hamming >= nblocks:
+        raise ValueError("need max_hamming < number of blocks for pigeonhole blocking")
+    sh = with_simhash(df, text_col, bits).select(id_col, "simhash")
+    blocks = sh.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.concat(
+                        F.lit(f"{i}:"),
+                        F.shiftright(F.col("simhash"), i * block_bits).bitwiseAND(
+                            F.lit((1 << block_bits) - 1)
+                        ),
+                    )
+                    for i in range(nblocks)
+                ]
+            )
+        ).alias("block_key"),
+    )
+    a, b = blocks.alias("a"), blocks.alias("b")
+    pairs = (
+        a.join(b, "block_key")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+    return pairs
+
+
+def dedup_keep_representatives(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Drop the larger id of every near-dup pair (greedy representative
+    selection — the standard web-pipeline policy). Connected components
+    collapse transitively because every non-minimal member appears as
+    id_b of some pair with a smaller id_a."""
+    victims = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(victims, on=id_col, how="left_anti")

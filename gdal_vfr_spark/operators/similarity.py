@@ -1,0 +1,146 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute_force_topk: exact cosine top-k, the correctness baseline.
+  Dot products are sequential left-to-right folds (F.aggregate) in
+  float64 — bit-identical to the DuckDB oracle's list_reduce fold, so
+  results hash-match without tolerance fudging.
+- lsh_bucketed_topk: the scale path — sign-random-projection (SimHash
+  for vectors) buckets as an equi-join pre-filter; exactness bounded by
+  probe count. Hyperplanes are seeded numpy constants shipped as column
+  literals, so results stay deterministic across runs/engines.
+- cosine_near_dup_pairs: embedding near-duplicate detection for
+  training-data dedup (cosine >= threshold within LSH buckets).
+
+At 100 TB the corpus side stays partitioned; the query side is the
+small side and broadcasts. No Python in any hot path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def dot_expr(a, b) -> F.Column:
+    """Sequential fold dot product in float64 (deterministic order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_expr(a) -> F.Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+
+
+def cosine_expr(a, b) -> F.Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the (small) query set against the
+    corpus, score every pair, rank per query. Output: (query_id,
+    neighbor id, rank); ties broken by corpus id (deterministic)."""
+    q = queries.select(query_id_col, query_vec_col)
+    scored = corpus.select(id_col, vec_col).crossJoin(F.broadcast(q)).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine_expr(F.col(vec_col), F.col(query_vec_col)).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
+def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Seeded Gaussian hyperplanes (public SRP-LSH construction)."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def srp_bucket_expr(vec_col, planes: list[list[float]]) -> F.Column:
+    """Sign-random-projection bucket id: bit i = sign(v . plane_i)."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    out = F.lit(0).cast("long")
+    for p in planes:
+        d = dot_expr(v, F.array(*[F.lit(float(x)) for x in p]))
+        out = F.shiftleft(out, 1).bitwiseOR(F.when(d >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long"))
+    return out
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    dim: int,
+    n_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Approximate top-k: score only corpus vectors in the query's SRP
+    bucket. Equi-join on bucket replaces the cross join — at 10^12
+    vectors this is the difference between feasible and not. Recall is
+    tunable via n_planes (fewer planes = bigger buckets = higher
+    recall/cost)."""
+    planes = random_hyperplanes(dim, n_planes, seed)
+    c = corpus.select(id_col, vec_col).withColumn("bucket", srp_bucket_expr(vec_col, planes))
+    q = queries.select(query_id_col, query_vec_col).withColumn(
+        "bucket", srp_bucket_expr(query_vec_col, planes)
+    )
+    scored = c.join(F.broadcast(q), on="bucket").select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine_expr(F.col(vec_col), F.col(query_vec_col)).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    threshold: float,
+    dim: int,
+    n_planes: int = 6,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-duplicate pairs (id_a < id_b, cosine >= threshold)
+    found within SRP buckets (blocked self-join, not O(n^2))."""
+    planes = random_hyperplanes(dim, n_planes, seed)
+    keyed = df.select(id_col, vec_col).withColumn("bucket", srp_bucket_expr(vec_col, planes))
+    a, b = keyed.alias("a"), keyed.alias("b")
+    return (
+        a.join(b, on="bucket")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            cosine_expr(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+        .distinct()
+    )

@@ -1,0 +1,86 @@
+"""Text analysis for training-data pipelines: language ID, quality
+scoring, token counting, document fingerprinting.
+
+All pure Catalyst expressions over the shared tokenizer
+(functions.text_expr.tokens_expr) — each has an exact DuckDB-SQL twin
+in __spark_entry__.py. Heuristics are deliberately simple/deterministic
+(n-gram/stopword evidence), not model-based: the container has no ML
+runtime, and determinism is what the oracle gate needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from gdal_vfr_spark.functions.text_expr import tokens_expr
+
+# Tiny, fixed stopword evidence sets (public common-words lists).
+STOPWORDS = {
+    "en": ["the", "of", "and", "to", "in", "is", "for", "on", "with", "as"],
+    "de": ["der", "die", "und", "das", "von", "zu", "mit", "den", "ist", "ein"],
+    "cs": ["a", "se", "na", "je", "v", "z", "do", "pro", "ze", "si"],
+    "fr": ["le", "la", "et", "les", "des", "un", "une", "du", "est", "dans"],
+}
+
+
+def token_count_expr(text) -> F.Column:
+    """Whitespace-ish token count (the BPE-ish proxy: alnum runs)."""
+    return F.size(tokens_expr(text))
+
+
+def stopword_hits_expr(text, lang: str) -> F.Column:
+    """Count tokens (with multiplicity) in the language's stopword set."""
+    toks = tokens_expr(text)
+    stop = F.array(*[F.lit(s) for s in STOPWORDS[lang]])
+    return F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+
+
+def lang_id_expr(text) -> F.Column:
+    """Argmax of stopword hit counts; ties broken by language code
+    order (deterministic); zero evidence -> 'und'."""
+    scores = [(lang, stopword_hits_expr(text, lang)) for lang in sorted(STOPWORDS)]
+    best_score = F.greatest(*[s for _, s in scores])
+    out = F.lit("und")
+    for lang, s in reversed(scores):  # earlier langs win ties -> apply last
+        out = F.when((s == best_score) & (best_score > 0), F.lit(lang)).otherwise(out)
+    return out
+
+
+def quality_score_expr(text) -> F.Column:
+    """Deterministic quality heuristic in [0,1]:
+    0.4*length_score + 0.3*stopword_ratio + 0.3*alpha_ratio, where
+    length_score saturates at 100 tokens. Round(6) for cross-engine
+    float stability."""
+    t = F.col(text) if isinstance(text, str) else text
+    toks = tokens_expr(t)
+    n = F.size(toks).cast("double")
+    length_score = F.least(n / F.lit(100.0), F.lit(1.0))
+    all_stop = F.array(*[F.lit(s) for langset in sorted(STOPWORDS) for s in STOPWORDS[langset]])
+    stop_ratio = F.when(
+        n > 0,
+        F.size(F.filter(toks, lambda x: F.array_contains(all_stop, x))).cast("double") / n,
+    ).otherwise(F.lit(0.0))
+    alpha = F.length(F.regexp_replace(F.lower(t), "[^a-z]", "")).cast("double")
+    total = F.length(t).cast("double")
+    alpha_ratio = F.when(total > 0, alpha / total).otherwise(F.lit(0.0))
+    return F.round(
+        F.lit(0.4) * length_score + F.lit(0.3) * stop_ratio + F.lit(0.3) * alpha_ratio, 6
+    )
+
+
+def fingerprint_expr(text) -> F.Column:
+    """Content fingerprint: md5 of the sorted distinct token set —
+    invariant to word order/whitespace (boilerplate-shuffle robust)."""
+    toks = tokens_expr(text)
+    return F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " "))
+
+
+def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach all four analysis columns in one projection (single pass)."""
+    return df.select(
+        "*",
+        token_count_expr(text_col).alias("n_tokens"),
+        lang_id_expr(text_col).alias("lang_pred"),
+        quality_score_expr(text_col).alias("quality"),
+        fingerprint_expr(text_col).alias("fingerprint"),
+    )

@@ -1,0 +1,144 @@
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from gdal_vfr_spark.operators import dedup, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog in the park"),
+        (2, "the quick brown fox jumps over the lazy dog in the park"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy dog in the yard"),  # near dup of 1
+        (4, "der schnelle braune fuchs springt und die katze ist mit dem hund"),
+        (5, "v praze je krasne a na veceri se tesime do restaurace pro dobre jidlo"),
+        (6, "completely different text about database systems and query optimization"),
+        (7, ""),  # empty doc edge case
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+def test_exact_dedup(spark, docs):
+    out = dedup.exact_dedup(docs).orderBy("doc_id").collect()
+    ids = [r["doc_id"] for r in out]
+    assert 1 in ids and 2 not in ids  # min id kept
+    dups = {r["doc_id"]: r["n_dups"] for r in out}
+    assert dups[1] == 2
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    pairs = dedup.minhash_lsh_pairs(docs, num_hashes=16, bands=8).collect()
+    got = {(r["id_a"], r["id_b"]): r["jaccard_est"] for r in pairs}
+    assert (1, 2) in got and got[(1, 2)] == 1.0  # exact dup always caught
+    assert (1, 3) in got and got[(1, 3)] > 0.5  # near dup caught
+    assert (1, 6) not in got and (4, 5) not in got  # unrelated not paired
+
+
+def test_ngram_jaccard_exact(spark, docs):
+    pairs = dedup.minhash_lsh_pairs(docs, num_hashes=16, bands=8)
+    verified = dedup.ngram_jaccard_pairs(docs, pairs).collect()
+    jac = {(r["id_a"], r["id_b"]): r["jaccard"] for r in verified}
+    assert jac[(1, 2)] == 1.0
+    # exact jaccard of 1-vs-3 (differ in last word): high but < 1
+    assert 0.6 < jac[(1, 3)] < 1.0
+
+
+def test_simhash_near_pairs(spark, docs):
+    sh = dedup.with_simhash(docs).collect()
+    vals = {r["doc_id"]: r["simhash"] for r in sh}
+    assert vals[1] == vals[2]  # identical text -> identical fingerprint
+    h13 = bin(vals[1] ^ vals[3]).count("1")
+    h16 = bin(vals[1] ^ vals[6]).count("1")
+    assert h13 < h16  # near dup closer than unrelated
+    pairs = dedup.simhash_near_pairs(docs, max_hamming=3).collect()
+    keys = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in keys  # identical docs at hamming 0
+    if h13 <= 3:  # (1,3) guaranteed only within the pigeonhole radius
+        assert (1, 3) in keys
+    assert all(r["hamming"] <= 3 for r in pairs)
+
+
+def test_dedup_keep_representatives(spark, docs):
+    pairs = dedup.minhash_lsh_pairs(docs, num_hashes=16, bands=8)
+    kept = dedup.dedup_keep_representatives(docs, pairs).collect()
+    ids = {r["doc_id"] for r in kept}
+    assert 1 in ids and 2 not in ids and 3 not in ids
+    assert {4, 5, 6, 7} <= ids
+
+
+def test_text_analyze(spark, docs):
+    out = {r["doc_id"]: r for r in text.analyze(docs).collect()}
+    assert out[1]["lang_pred"] == "en"
+    assert out[4]["lang_pred"] == "de"
+    assert out[5]["lang_pred"] == "cs"
+    assert out[7]["lang_pred"] == "und"
+    assert out[1]["n_tokens"] == 12
+    assert out[7]["n_tokens"] == 0
+    assert out[1]["fingerprint"] == out[2]["fingerprint"]
+    assert out[1]["fingerprint"] != out[3]["fingerprint"]
+    assert 0.0 <= out[7]["quality"] <= 0.1
+    assert out[1]["quality"] > out[7]["quality"]
+
+
+def test_brute_force_topk_matches_numpy(spark):
+    rng = np.random.default_rng(2)
+    emb = rng.standard_normal((100, 16)).astype(np.float32)
+    corpus = spark.createDataFrame(
+        pd.DataFrame({"vec_id": np.arange(100, dtype=np.int64), "embedding": list(map(list, emb))})
+    )
+    qv = rng.standard_normal((5, 16)).astype(np.float32)
+    queries = spark.createDataFrame(
+        pd.DataFrame({"query_id": np.arange(5, dtype=np.int64), "query_vec": list(map(list, qv))})
+    )
+    out = similarity.brute_force_topk(corpus, queries, k=3).collect()
+    assert len(out) == 15
+    for qi in range(5):
+        d = emb.astype(np.float64) @ qv[qi].astype(np.float64)
+        cos = d / (np.linalg.norm(emb.astype(np.float64), axis=1) * np.linalg.norm(qv[qi].astype(np.float64)))
+        want = np.lexsort((np.arange(100), -cos))[:3]
+        got = sorted([r for r in out if r["query_id"] == qi], key=lambda r: r["rank"])
+        assert [r["vec_id"] for r in got] == want.tolist()
+
+
+def test_lsh_topk_subset_of_bucket(spark):
+    rng = np.random.default_rng(3)
+    emb = rng.standard_normal((200, 16)).astype(np.float32)
+    corpus = spark.createDataFrame(
+        pd.DataFrame({"vec_id": np.arange(200, dtype=np.int64), "embedding": list(map(list, emb))})
+    )
+    queries = spark.createDataFrame(
+        pd.DataFrame({"query_id": [0], "query_vec": [emb[17].tolist()]})
+    )
+    out = similarity.lsh_bucketed_topk(corpus, queries, k=3, dim=16, n_planes=4).collect()
+    assert out and out[0]["vec_id"] == 17 and out[0]["cosine"] > 0.999999
+
+
+def test_cosine_near_dup_pairs(spark):
+    rng = np.random.default_rng(8)
+    base = rng.standard_normal(16).astype(np.float32)
+    emb = [base.tolist(), (base + 1e-4).tolist(), rng.standard_normal(16).astype(np.float32).tolist()]
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [1, 2, 3], "embedding": emb})
+    )
+    pairs = similarity.cosine_near_dup_pairs(df, threshold=0.999, dim=16).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+
+
+def test_multimodal_plumbing(spark):
+    pdf = pd.DataFrame(
+        {"url": ["a", "b"], "html": [b"\x89PNG fake bytes", b"RIFF other bytes"]}
+    )
+    df = spark.createDataFrame(pdf)
+    meta = {r["url"]: r for r in multimodal.image_metadata(df).collect()}
+    assert meta["a"]["n_bytes"] == 15 and len(meta["a"]["sha1"]) == 40
+    feats = multimodal.image_features(df).collect()
+    assert all(len(r["feature"]) == 3 for r in feats)
+    # determinism: same bytes -> same features
+    feats2 = multimodal.image_features(df).collect()
+    assert sorted(map(str, feats)) == sorted(map(str, feats2))
+    frames = multimodal.sample_frames(df, every_n=2, n_frames=4).collect()
+    assert len(frames) == 8
+    with pytest.raises(Exception):
+        multimodal.resize_stub(df, 4, 4).collect()

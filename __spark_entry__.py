@@ -1,38 +1,816 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry runs an engine operator (SURVEY.md §2) on the
+driver-provided parquet tables; ``oracle_sql()`` carries the exact
+DuckDB twin. Cross-engine exactness rules used throughout:
+
+- Geo columns are DERIVED from ``events`` with pure integer arithmetic
+  (identical doubles in both engines); points are constructed to never
+  fall on polygon/grid boundaries, so geometric containment (Spark
+  side, real PIP machinery) equals floor arithmetic (oracle side).
+- Float aggregations go through DECIMAL casts (order-independent exact
+  sums), then to double — avoids summation-order divergence.
+- Text hashing is md5-hex (both engines agree bit-for-bit); MinHash
+  minimizes hex strings lexicographically (order-preserving transform
+  of the 128-bit value).
 """
 
 from __future__ import annotations
 
+import sys
+import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from gdal_vfr_spark import datagen  # noqa: E402
+from gdal_vfr_spark.geo import cells  # noqa: E402
+from gdal_vfr_spark.geo.knn import knn_join  # noqa: E402
+from gdal_vfr_spark.geo.pip import point_in_polygon_join  # noqa: E402
+from gdal_vfr_spark.operators import dedup, similarity, text as text_ops  # noqa: E402
+from gdal_vfr_spark.session import package_zip  # noqa: E402
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def _ensure_shipped(spark: SparkSession) -> None:
+    """Ship the engine to executor workers of a driver-owned session."""
+    try:
+        spark.sparkContext.addPyFile(package_zip())
+    except Exception:
+        pass
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# --------------------------------------------------------------------------
+# Derived deterministic geotags (engine + oracle twins)
+# --------------------------------------------------------------------------
+# lon in (14, 15), lat in (49.5, 50.5); odd thousandths => never on the
+# 0.1-degree obce grid boundaries; event_id % 20 == 0 => NULL geotag
+# (the reference's missing-geometry rows, vfrogr.py:592-598).
+
+GEO_SQL = """
+SELECT event_id, event_type, user_id, value,
+  CASE WHEN event_id % 20 = 0 THEN NULL
+       ELSE 14.0 + (2 * ((event_id * 7919) % 500) + 1) / 1000.0 END AS lon,
+  CASE WHEN event_id % 20 = 0 THEN NULL
+       ELSE 49.5 + (2 * ((event_id * 104729) % 500) + 1) / 1000.0 END AS lat
+FROM events
+"""
+
+
+def _events_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _read(spark, sf_dir, "events")
+    null_geo = (F.col("event_id") % 20) == 0
+    lon = F.lit(14.0) + (
+        (F.lit(2) * ((F.col("event_id") * 7919) % 500) + 1).cast("double") / F.lit(1000.0)
+    )
+    lat = F.lit(49.5) + (
+        (F.lit(2) * ((F.col("event_id") * 104729) % 500) + 1).cast("double") / F.lit(1000.0)
+    )
+    return e.select(
+        "event_id",
+        "event_type",
+        "user_id",
+        "value",
+        F.when(null_geo, F.lit(None).cast("double")).otherwise(lon).alias("lon"),
+        F.when(null_geo, F.lit(None).cast("double")).otherwise(lat).alias("lat"),
+    )
+
+
+# oracle-side obec kod from floor arithmetic (ground truth by construction)
+ORACLE_OBEC = (
+    "(500000 + CAST(floor((lat - 49.5) / 0.1) AS BIGINT) * 10"
+    " + CAST(floor((lon - 14.0) / 0.1) AS BIGINT))"
+)
+
+
+def _duck_spread(e: str) -> str:
+    """DuckDB SQL for the Morton part1by1 bit spread (mirror of
+    cells._part1by1 / cells.cell_expr)."""
+    out = f"(({e}) & 4294967295)"
+    for sh, mask in ((16, 0x0000FFFF0000FFFF), (8, 0x00FF00FF00FF00FF),
+                     (4, 0x0F0F0F0F0F0F0F0F), (2, 0x3333333333333333),
+                     (1, 0x5555555555555555)):
+        out = f"((({out}) | (({out}) << {sh})) & {mask})"
+    return out
+
+
+def _duck_cell(lon: str, lat: str, res: int) -> str:
+    n = 1 << res
+    ix = f"least(greatest(CAST(floor((({lon}) + 180.0) / 360.0 * {float(n)}) AS BIGINT), 0), {n - 1})"
+    iy = f"least(greatest(CAST(floor((({lat}) + 90.0) / 180.0 * {float(n)}) AS BIGINT), 0), {n - 1})"
+    morton = f"(({_duck_spread(ix)}) | (({_duck_spread(iy)}) << 1))"
+    return f"CASE WHEN ({lon}) IS NULL OR ({lat}) IS NULL THEN -1 ELSE (({morton}) << 5) | {res} END"
+
+
+# --------------------------------------------------------------------------
+# Text twins (tokenizer / stopwords shared with operators.text)
+# --------------------------------------------------------------------------
+
+def _duck_tokens(t: str) -> str:
+    return f"list_filter(regexp_split_to_array(lower({t}), '[^a-z0-9]+'), x -> x <> '')"
+
+
+def _duck_stoplist(lang: str) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in text_ops.STOPWORDS[lang]) + "]"
+
+
+def _duck_lang_sql() -> str:
+    toks = _duck_tokens("text")
+    scores = {
+        lang: f"len(list_filter(__toks, t -> list_contains({_duck_stoplist(lang)}, t)))"
+        for lang in sorted(text_ops.STOPWORDS)
+    }
+    best = "greatest(" + ", ".join(scores.values()) + ")"
+    case = "CASE WHEN " + best + " = 0 THEN 'und' "
+    for lang in sorted(text_ops.STOPWORDS):
+        case += f"WHEN {scores[lang]} = {best} THEN '{lang}' "
+    case += "ELSE 'und' END"
+    return f"SELECT doc_id, {case} AS lang_pred FROM (SELECT doc_id, {toks} AS __toks, text FROM documents)"
+
+
+def _duck_quality_sql() -> str:
+    toks = _duck_tokens("text")
+    all_stop = "[" + ", ".join(
+        f"'{w}'" for lang in sorted(text_ops.STOPWORDS) for w in text_ops.STOPWORDS[lang]
+    ) + "]"
+    return f"""
+    SELECT doc_id, round(
+        0.4 * least(CAST(len(__toks) AS DOUBLE) / 100.0, 1.0)
+      + 0.3 * (CASE WHEN len(__toks) > 0
+               THEN CAST(len(list_filter(__toks, x -> list_contains({all_stop}, x))) AS DOUBLE)
+                    / CAST(len(__toks) AS DOUBLE) ELSE 0.0 END)
+      + 0.3 * (CASE WHEN length(text) > 0
+               THEN CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+                    / CAST(length(text) AS DOUBLE) ELSE 0.0 END), 6) AS quality
+    FROM (SELECT doc_id, {toks} AS __toks, text FROM documents)
+    """
+
+
+def _duck_minhash_sql(num_hashes: int = 16, bands: int = 8, shingle_n: int = 5) -> str:
+    rows = num_hashes // bands
+    sh = (
+        f"list_distinct(list_transform(range(1, greatest(length(text) - {shingle_n - 1}, 1) + 1),"
+        f" i -> substr(text, i, {shingle_n})))"
+    )
+    sigs = ", ".join(
+        f"list_min(list_transform(__sh, s -> md5(concat('{i}:', s)))) AS s{i}"
+        for i in range(num_hashes)
+    )
+    band_keys = ", ".join(
+        "concat('%d:', md5(concat_ws('|', %s))) AS b%d"
+        % (b, ", ".join(f"s{b * rows + r}" for r in range(rows)), b)
+        for b in range(bands)
+    )
+    band_list = "[" + ", ".join(f"b{b}" for b in range(bands)) + "]"
+    eq_count = " + ".join(
+        f"(CASE WHEN a.s{i} = b.s{i} THEN 1 ELSE 0 END)" for i in range(num_hashes)
+    )
+    return f"""
+    WITH sig AS (
+      SELECT doc_id, {sigs} FROM (SELECT doc_id, {sh} AS __sh FROM documents)
+    ), bands AS (
+      SELECT doc_id, unnest({band_list}) AS band_key
+      FROM (SELECT doc_id, {band_keys} FROM sig)
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    )
+    SELECT p.id_a, p.id_b,
+           CAST(({eq_count}) AS DOUBLE) / {float(num_hashes)} AS jaccard_est
+    FROM pairs p JOIN sig a ON p.id_a = a.doc_id JOIN sig b ON p.id_b = b.doc_id
+    """
+
+
+def _duck_jaccard_sql(shingle_n: int = 5) -> str:
+    mh = _duck_minhash_sql()
+    sh = (
+        f"list_distinct(list_transform(range(1, greatest(length(text) - {shingle_n - 1}, 1) + 1),"
+        f" i -> substr(text, i, {shingle_n})))"
+    )
+    return f"""
+    WITH mh_pairs AS ({mh}),
+    shs AS (SELECT doc_id, {sh} AS sh FROM documents)
+    SELECT p.id_a, p.id_b,
+      CAST(len(list_filter(a.sh, s -> list_contains(b.sh, s))) AS DOUBLE)
+      / CAST(len(a.sh) + len(b.sh) - len(list_filter(a.sh, s -> list_contains(b.sh, s))) AS DOUBLE)
+      AS jaccard
+    FROM mh_pairs p JOIN shs a ON p.id_a = a.doc_id JOIN shs b ON p.id_b = b.doc_id
+    """
+
+
+def _duck_simhash_sql(bits: int = 32) -> str:
+    """Relational SimHash twin: explode tokens x bits, majority vote,
+    pack. Independent formulation from the Spark fold — a genuine
+    cross-check."""
+    toks = _duck_tokens("text")
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({toks}) AS tok FROM documents
+    ), th AS (
+      SELECT doc_id, substr(md5(tok), 1, {bits // 4}) AS h FROM toks
+    ), bitsv AS (
+      SELECT doc_id, j,
+        SUM(CASE WHEN ((strpos('0123456789abcdef', substr(h, CAST(j // 4 AS INT) + 1, 1)) - 1)
+                       >> CAST(3 - (j % 4) AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+      FROM th, (SELECT unnest(range(0, {bits})) AS j)
+      GROUP BY doc_id, j
+    )
+    SELECT doc_id,
+      CAST(SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << CAST({bits - 1} - j AS INT))
+               ELSE 0 END) AS BIGINT) AS simhash
+    FROM bitsv GROUP BY doc_id
+    """
+
+
+def _duck_cosine_topk_sql(k: int = 3, n_queries: int = 5) -> str:
+    dot = (
+        "list_reduce(list_prepend(0.0, list_transform(list_zip(e.embedding, q.qv),"
+        " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (x, y) -> x + y)"
+    )
+    norm = (
+        "sqrt(list_reduce(list_prepend(0.0, list_transform({v},"
+        " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (x, y) -> x + y))"
+    )
+    return f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < {n_queries}
+    ), scored AS (
+      SELECT q.query_id, e.vec_id,
+        ({dot}) / ({norm.format(v='e.embedding')} * {norm.format(v='q.qv')}) AS cosine
+      FROM embeddings e CROSS JOIN q
+    )
+    SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT query_id, vec_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+# --------------------------------------------------------------------------
+# Spark query callables
+# --------------------------------------------------------------------------
+
+def q_a1_pricing_summary(spark, sf_dir):
+    """A1 analogue + TPC-H Q1 shape: per-layer (returnflag/linestatus)
+    counts and exact decimal sums (vfrogr.py:409-426 counts)."""
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_a2_presence(spark, sf_dir):
+    """A2 — per-column non-null counts (geometry presence analogue,
+    vfrogr.py:745-762) over the derived geo table."""
+    g = _events_geo(spark, sf_dir)
+    return g.agg(
+        F.count("*").alias("n_total"),
+        F.count("lon").alias("n_lon"),
+        F.count("lat").alias("n_lat"),
+    )
+
+
+def q_a4_null_tally(spark, sf_dir):
+    """A4 — missing-geometry tally (vfrogr.py:592-598)."""
+    g = _events_geo(spark, sf_dir)
+    return g.agg(
+        F.sum(F.when(F.col("lon").isNull(), 1).otherwise(0)).alias("n_missing"),
+        F.count("*").alias("n_total"),
+    )
+
+
+def q_j1_classify(spark, sf_dir):
+    """J1 — upsert classification join (vfrogr.py:793-836)."""
+    from gdal_vfr_spark.operators.merge import classify_changes
+
+    orders = _read(spark, sf_dir, "orders")
+    current = orders.where(F.col("o_orderkey") % 3 != 0).select(
+        F.col("o_orderkey").alias("gml_id")
+    )
+    changes = orders.where(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderkey").alias("gml_id")
+    )
+    return (
+        classify_changes(changes, current, key="gml_id")
+        .groupBy("action")
+        .agg(F.count("*").alias("n"))
+        .orderBy("action")
+    )
+
+
+def q_j2_tombstone_anti(spark, sf_dir):
+    """J2 — tombstone anti-join delete (vfrogr.py:838-915)."""
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders")
+    tomb = orders.where(
+        (F.col("o_orderstatus") == "F") & (F.col("o_orderkey") % 5 == 0)
+    ).select(F.col("o_orderkey").alias("l_orderkey"))
+    survivors = li.join(tomb, on="l_orderkey", how="left_anti")
+    return survivors.groupBy("l_returnflag").agg(F.count("*").alias("n")).orderBy("l_returnflag")
+
+
+def q_j3_dedup_window(spark, sf_dir):
+    """J3 — duplicate-key dedup via window (vfrogr.py:817-829): first
+    event per (user_id, event_type) by (ts, event_id)."""
+    e = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    kept = e.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return (
+        kept.where(F.col("user_id") < 100)
+        .select("user_id", "event_type", F.col("event_id").alias("first_event_id"))
+    )
+
+
+def q_p4_coalesce_chain(spark, sf_dir):
+    """P4 — geometry preference fallback chain (vfrogr.py:490-506) over
+    three derived columns with distinct null patterns."""
+    e = _read(spark, sf_dir, "events")
+    g1 = F.when(F.col("event_id") % 3 != 0, F.lit("generalizovana"))
+    g2 = F.when(F.col("event_id") % 4 != 0, F.lit("originalni"))
+    g3 = F.when(F.col("event_id") % 5 != 0, F.lit("bod"))
+    return (
+        e.select(F.coalesce(g1, g2, g3).alias("geometry_source"))
+        .groupBy("geometry_source")
+        .agg(F.count("*").alias("n"))
+        .orderBy("geometry_source")
+    )
+
+
+def q_so1_symmetric_diff(spark, sf_dir):
+    """SO1 — symmetric set diff (utils.py:108-120): customers with no
+    orders vs order-custkeys with no customer row."""
+    c = _read(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    o = _read(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k")).distinct()
+    only_c = c.exceptAll(o).withColumn("diff", F.lit("+"))
+    only_o = o.exceptAll(c).withColumn("diff", F.lit("-"))
+    return only_c.unionByName(only_o).orderBy("diff", "k")
+
+
+def q_sort_topk(spark, sf_dir):
+    """§2.5 — top-k with deterministic tie-break (engine extra; absent
+    in the reference)."""
+    o = _read(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .limit(10)
+    )
+
+
+def q_window_rank(spark, sf_dir):
+    """Analytic window: per-customer order sequence (engine extra)."""
+    o = _read(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+    return (
+        o.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("o_custkey") < 50)
+        .select("o_custkey", "o_orderkey", "rn")
+    )
+
+
+def q_f_dates(spark, sf_dir):
+    """F1/F2/F4 — the reference's date arithmetic (utils.py:122-146):
+    last day of previous month + yesterday, per order sample."""
+    o = _read(spark, sf_dir, "orders").where(F.col("o_orderkey") % 100 == 0)
+    return o.select(
+        "o_orderkey",
+        F.date_sub(F.to_date(F.date_trunc("MONTH", F.col("o_orderdate"))), 1)
+        .cast("timestamp")
+        .alias("last_day_prev_month"),
+        F.date_sub(F.to_date(F.col("o_orderdate")), 1).cast("timestamp").alias("yesterday"),
+    )
+
+
+def q_f_interval_expand(spark, sf_dir):
+    """F3 — date-interval expansion to day list (utils.py:148-176)."""
+    o = _read(spark, sf_dir, "orders").where(F.col("o_orderkey") % 500 == 0)
+    days = F.sequence(
+        F.to_date("o_orderdate"), F.date_add(F.to_date("o_orderdate"), 2)
+    )
+    return o.select("o_orderkey", F.explode(days).alias("day")).select(
+        "o_orderkey", F.col("day").cast("timestamp").alias("day")
+    )
+
+
+def q_f_json_extract(spark, sf_dir):
+    """§2.7 json — props JSON field aggregation."""
+    e = _read(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"), F.count("*").alias("n"))
+        .orderBy("event_type")
+    )
+
+
+def q_w_tumbling_hour(spark, sf_dir):
+    """Tumbling-window aggregation (batch twin of the streaming path):
+    hourly event counts + exact decimal sums."""
+    e = _read(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("HOUR", F.col("ts")).alias("hour_ts"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .orderBy("hour_ts", "event_type")
+    )
+
+
+# ------------------------------- spatial ----------------------------------
+
+
+def q_geo_pip_counts(spark, sf_dir):
+    """J4 north-star — point-in-polygon page counts per municipality,
+    via the REAL cell-cover + winding-refine machinery; oracle = floor
+    arithmetic (grid ground truth, SURVEY.md §1.4)."""
+    _ensure_shipped(spark)
+    g = _events_geo(spark, sf_dir)
+    obce = datagen.gen_obce(spark)
+    joined = point_in_polygon_join(
+        g, obce, poly_key="kod", geom_col="originalni_hranice", out_key="obec_kod"
+    )
+    return joined.groupBy("obec_kod").agg(F.count("*").alias("n_pages")).orderBy("obec_kod")
+
+
+def q_geo_pip_rows(spark, sf_dir):
+    """J4 row-level containment assignments (sampled)."""
+    _ensure_shipped(spark)
+    g = _events_geo(spark, sf_dir).where(F.col("event_id") % 10 == 1)
+    obce = datagen.gen_obce(spark)
+    joined = point_in_polygon_join(
+        g, obce, poly_key="kod", geom_col="originalni_hranice", out_key="obec_kod"
+    )
+    return joined.select("event_id", "obec_kod")
+
+
+def q_geo_knn(spark, sf_dir):
+    """J5 north-star — 3 nearest municipality centers per sampled page
+    (k-ring expansion + certified merge); oracle = cross join + rank."""
+    _ensure_shipped(spark)
+    import pandas as pd
+
+    g = _events_geo(spark, sf_dir).where(F.col("event_id") % 100 == 1)
+    centers = pd.DataFrame(
+        [
+            {
+                "kod": 500000 + iy * 10 + ix,
+                "lon": 14.0 + (ix + 0.5) * 0.1,
+                "lat": 49.5 + (iy + 0.5) * 0.1,
+            }
+            for iy in range(10)
+            for ix in range(10)
+        ]
+    )
+    targets = spark.createDataFrame(centers)
+    out = knn_join(g, targets, k=3, target_key="kod", id_col="event_id")
+    return out.select(
+        "event_id", F.col("neighbor_key").alias("kod"), (F.col("rank") + 1).cast("long").alias("rank")
+    )
+
+
+def q_geo_tile_counts(spark, sf_dir):
+    """J6 north-star — Z-order tile assignment (res 12) counts; oracle
+    recomputes the Morton interleave in SQL bit ops."""
+    g = _events_geo(spark, sf_dir)
+    return (
+        g.withColumn("tile_key", cells.cell_expr("lon", "lat", 12))
+        .groupBy("tile_key")
+        .agg(F.count("*").alias("n"))
+        .orderBy("tile_key")
+    )
+
+
+# ------------------------------ dedup/text --------------------------------
+
+
+def q_dedup_exact(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs).orderBy("doc_id")
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(docs, num_hashes=16, bands=8).orderBy("id_a", "id_b")
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, num_hashes=16, bands=8).select("id_a", "id_b")
+    return dedup.ngram_jaccard_pairs(docs, pairs).orderBy("id_a", "id_b")
+
+
+def q_dedup_simhash(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    toks_nonempty = F.size(
+        F.filter(F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != "")
+    ) > 0
+    return (
+        dedup.with_simhash(docs.where(toks_nonempty), bits=32)
+        .select("doc_id", "simhash")
+        .orderBy("doc_id")
+    )
+
+
+def q_text_lang(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select("doc_id", text_ops.lang_id_expr("text").alias("lang_pred")).orderBy(
+        "doc_id"
+    )
+
+
+def q_text_quality(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", text_ops.quality_score_expr("text").alias("quality")
+    ).orderBy("doc_id")
+
+
+def q_text_tokens(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.select("source", text_ops.token_count_expr("text").alias("n_tokens"))
+        .groupBy("source")
+        .agg(
+            F.sum("n_tokens").alias("total_tokens"),
+            F.max("n_tokens").cast("long").alias("max_tokens"),
+            F.count("*").alias("n_docs"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_text_fingerprint(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", text_ops.fingerprint_expr("text").alias("fp"))
+        .groupBy("lang")
+        .agg(F.count_distinct("fp").alias("n_distinct"), F.count("*").alias("n"))
+        .orderBy("lang")
+    )
+
+
+def q_ann_topk(spark, sf_dir):
+    emb = _read(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = similarity.brute_force_topk(emb, q, k=3)
+    return out.select("query_id", "vec_id", F.col("rank").cast("long").alias("rank")).orderBy("query_id", "rank")
+
+
+# ------------------------- no-oracle (rows-only) --------------------------
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """Approximate SRP-LSH top-k (scale path) — approximate by design,
+    so no SQL oracle; driver records rows-only."""
+    emb = _read(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return similarity.lsh_bucketed_topk(emb, q, k=3, dim=64).select(
+        "query_id", "vec_id", "rank"
+    )
+
+
+def q_multimodal_meta(spark, sf_dir):
+    """Binary-column plumbing (decode stubbed — no codec libs): size +
+    sha1 metadata via mapInPandas."""
+    _ensure_shipped(spark)
+    from gdal_vfr_spark.operators import multimodal
+
+    docs = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.encode("text", "utf-8").alias("html"),
+    )
+    return multimodal.image_metadata(docs)
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding near-dup pairs within SRP buckets (approximate)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    return similarity.cosine_near_dup_pairs(emb, threshold=0.95, dim=64).select(
+        "id_a", "id_b"
+    )
+
+
+# --------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: spatial-join page counts per municipality on sf0.001
+    (the minimum end-to-end slice from SURVEY.md §7.1 item 2)."""
+    _ensure_shipped(spark)
+    return q_geo_pip_counts(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "a1_pricing_summary": q_a1_pricing_summary,
+        "a2_presence": q_a2_presence,
+        "a4_null_tally": q_a4_null_tally,
+        "j1_classify": q_j1_classify,
+        "j2_tombstone_anti": q_j2_tombstone_anti,
+        "j3_dedup_window": q_j3_dedup_window,
+        "p4_coalesce_chain": q_p4_coalesce_chain,
+        "so1_symmetric_diff": q_so1_symmetric_diff,
+        "sort_topk": q_sort_topk,
+        "window_rank": q_window_rank,
+        "f_dates": q_f_dates,
+        "f_interval_expand": q_f_interval_expand,
+        "f_json_extract": q_f_json_extract,
+        "w_tumbling_hour": q_w_tumbling_hour,
+        "geo_pip_counts": q_geo_pip_counts,
+        "geo_pip_rows": q_geo_pip_rows,
+        "geo_knn": q_geo_knn,
+        "geo_tile_counts": q_geo_tile_counts,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_simhash": q_dedup_simhash,
+        "text_lang": q_text_lang,
+        "text_quality": q_text_quality,
+        "text_tokens": q_text_tokens,
+        "text_fingerprint": q_text_fingerprint,
+        "ann_topk": q_ann_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "multimodal_meta": q_multimodal_meta,
+        "embedding_near_dup": q_embedding_near_dup,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    geo = GEO_SQL.strip()
+    return {
+        "a1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "a2_presence": f"""
+            SELECT count(*) AS n_total, count(lon) AS n_lon, count(lat) AS n_lat
+            FROM ({geo})
+        """,
+        "a4_null_tally": f"""
+            SELECT CAST(sum(CASE WHEN lon IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
+                   count(*) AS n_total
+            FROM ({geo})
+        """,
+        "j1_classify": """
+            WITH current AS (SELECT o_orderkey AS gml_id FROM orders WHERE o_orderkey % 3 <> 0),
+                 changes AS (SELECT o_orderkey AS gml_id FROM orders WHERE o_orderkey % 2 = 0)
+            SELECT CASE WHEN c.gml_id IS NULL THEN 'add' ELSE 'update' END AS action,
+                   count(*) AS n
+            FROM changes ch LEFT JOIN current c ON ch.gml_id = c.gml_id
+            GROUP BY 1 ORDER BY action
+        """,
+        "j2_tombstone_anti": """
+            SELECT l_returnflag, count(*) AS n FROM lineitem
+            WHERE l_orderkey NOT IN (
+              SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F' AND o_orderkey % 5 = 0)
+            GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "j3_dedup_window": """
+            SELECT user_id, event_type, event_id AS first_event_id FROM (
+              SELECT user_id, event_type, event_id,
+                     row_number() OVER (PARTITION BY user_id, event_type
+                                        ORDER BY ts ASC, event_id ASC) AS rn
+              FROM events) WHERE rn = 1 AND user_id < 100
+        """,
+        "p4_coalesce_chain": """
+            SELECT coalesce(CASE WHEN event_id % 3 <> 0 THEN 'generalizovana' END,
+                            CASE WHEN event_id % 4 <> 0 THEN 'originalni' END,
+                            CASE WHEN event_id % 5 <> 0 THEN 'bod' END) AS geometry_source,
+                   count(*) AS n
+            FROM events GROUP BY 1 ORDER BY geometry_source
+        """,
+        "so1_symmetric_diff": """
+            SELECT k, '+' AS diff FROM (
+              SELECT c_custkey AS k FROM customer
+              EXCEPT ALL SELECT DISTINCT o_custkey FROM orders)
+            UNION ALL
+            SELECT k, '-' AS diff FROM (
+              SELECT DISTINCT o_custkey AS k FROM orders
+              EXCEPT ALL SELECT c_custkey FROM customer)
+            ORDER BY diff, k
+        """,
+        "sort_topk": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+        """,
+        "window_rank": """
+            SELECT o_custkey, o_orderkey, CAST(rn AS BIGINT) AS rn FROM (
+              SELECT o_custkey, o_orderkey,
+                     row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderdate ASC, o_orderkey ASC) AS rn
+              FROM orders) WHERE o_custkey < 50
+        """,
+        "f_dates": """
+            SELECT o_orderkey,
+                   CAST(CAST(date_trunc('month', o_orderdate) AS DATE) - 1 AS TIMESTAMP) AS last_day_prev_month,
+                   CAST(CAST(o_orderdate AS DATE) - 1 AS TIMESTAMP) AS yesterday
+            FROM orders WHERE o_orderkey % 100 = 0
+        """,
+        "f_interval_expand": """
+            SELECT o_orderkey, CAST(unnest(generate_series(
+                     CAST(o_orderdate AS DATE),
+                     CAST(o_orderdate AS DATE) + 2, INTERVAL 1 DAY)) AS TIMESTAMP) AS day
+            FROM orders WHERE o_orderkey % 500 = 0
+        """,
+        "f_json_extract": """
+            SELECT event_type,
+                   CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+                   count(*) AS n
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "w_tumbling_hour": """
+            SELECT date_trunc('hour', ts) AS hour_ts, event_type, count(*) AS n,
+                   CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+            FROM events GROUP BY 1, 2 ORDER BY hour_ts, event_type
+        """,
+        "geo_pip_counts": f"""
+            SELECT {ORACLE_OBEC} AS obec_kod, count(*) AS n_pages
+            FROM ({geo}) WHERE lon IS NOT NULL
+            GROUP BY 1 ORDER BY obec_kod
+        """,
+        "geo_pip_rows": f"""
+            SELECT event_id, {ORACLE_OBEC} AS obec_kod
+            FROM ({geo}) WHERE lon IS NOT NULL AND event_id % 10 = 1
+        """,
+        "geo_knn": f"""
+            WITH centers AS (
+              SELECT 500000 + iy.i * 10 + ix.i AS kod,
+                     14.0 + (ix.i + 0.5) * 0.1 AS cx,
+                     49.5 + (iy.i + 0.5) * 0.1 AS cy
+              FROM (SELECT unnest(range(0, 10)) AS i) ix,
+                   (SELECT unnest(range(0, 10)) AS i) iy
+            ), pts AS (
+              SELECT event_id, lon, lat FROM ({geo})
+              WHERE lon IS NOT NULL AND event_id % 100 = 1
+            )
+            SELECT event_id, kod, CAST(rank AS BIGINT) AS rank FROM (
+              SELECT p.event_id, c.kod,
+                     row_number() OVER (PARTITION BY p.event_id ORDER BY
+                       (p.lon - c.cx) * (p.lon - c.cx) + (p.lat - c.cy) * (p.lat - c.cy) ASC,
+                       c.kod ASC) AS rank
+              FROM pts p CROSS JOIN centers c
+            ) WHERE rank <= 3
+        """,
+        "geo_tile_counts": f"""
+            SELECT {_duck_cell('lon', 'lat', 12)} AS tile_key, count(*) AS n
+            FROM ({geo}) GROUP BY 1 ORDER BY tile_key
+        """,
+        "dedup_exact": """
+            SELECT min(doc_id) AS doc_id, count(*) AS n_dups
+            FROM documents GROUP BY md5(text) ORDER BY doc_id
+        """,
+        "dedup_minhash_lsh": _duck_minhash_sql() + " ORDER BY id_a, id_b",
+        "dedup_ngram_jaccard": _duck_jaccard_sql() + " ORDER BY id_a, id_b",
+        "dedup_simhash": _duck_simhash_sql() + " ORDER BY doc_id",
+        "text_lang": _duck_lang_sql() + " ORDER BY doc_id",
+        "text_quality": _duck_quality_sql() + " ORDER BY doc_id",
+        "text_tokens": f"""
+            SELECT source, CAST(sum(n_tokens) AS BIGINT) AS total_tokens, CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+                   count(*) AS n_docs
+            FROM (SELECT source, len({_duck_tokens('text')}) AS n_tokens FROM documents)
+            GROUP BY source ORDER BY source
+        """,
+        "text_fingerprint": f"""
+            SELECT lang, count(DISTINCT fp) AS n_distinct, count(*) AS n
+            FROM (SELECT lang,
+                         md5(array_to_string(list_sort(list_distinct({_duck_tokens('text')})), ' ')) AS fp
+                  FROM documents)
+            GROUP BY lang ORDER BY lang
+        """,
+        "ann_topk": _duck_cosine_topk_sql() + " ORDER BY query_id, rank",
+    }

@@ -1,0 +1,173 @@
+"""Benchmark harness.
+
+Two parts:
+1. Headline per-query timings at $SPARK_GRAFT_SF_DIR (default
+   /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+2. The authoritative north-star metric (BASELINE.json): spatial-join +
+   tile-assignment throughput (pages/sec) on the synthetic webtext
+   table joined to the RUIAN-style obce polygons, run at TWO
+   parallelism levels (local[8] = N, local[32] = 4N) on the SAME
+   parquet input, reporting scaling efficiency = (thr_4N / thr_N) / 4.
+   Each level runs in a subprocess so JVM/thread-pool state can't leak
+   between levels.
+
+Prints ONE JSON line:
+{"metric": ..., "value": <total headline sec>, "unit": "sec",
+ "queries": {name: sec}, "sf": ..., "spatial": {...}}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+HEADLINE = [
+    "a1_pricing_summary",
+    "j1_classify",
+    "j2_tombstone_anti",
+    "j3_dedup_window",
+    "w_tumbling_hour",
+    "window_rank",
+    "geo_pip_counts",
+    "geo_pip_rows",
+    "geo_knn",
+    "geo_tile_counts",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "text_lang",
+    "text_quality",
+    "ann_topk",
+]
+
+SPATIAL_N = int(os.environ.get("SPARK_GRAFT_BENCH_N", 4_000_000))
+SPATIAL_PATH = os.environ.get("SPARK_GRAFT_BENCH_PATH", "/tmp/gdal_vfr_bench_pages")
+
+
+def _materialize(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def spatial_pipeline(spark, path: str):
+    """The measured job: read tiled pages -> PIP join to obce ->
+    Z-order tile key -> per-(obec, tile-prefix) counts."""
+    from pyspark.sql import functions as F
+
+    from gdal_vfr_spark import datagen
+    from gdal_vfr_spark.geo import tiles
+    from gdal_vfr_spark.geo.pip import point_in_polygon_join
+
+    pages = spark.read.parquet(path)
+    obce = datagen.gen_obce(spark)
+    joined = point_in_polygon_join(
+        pages, obce, poly_key="kod", geom_col="originalni_hranice", out_key="obec_kod"
+    )
+    keyed = tiles.with_tile_key(joined, res=tiles.DEFAULT_TILE_RES)
+    return keyed.groupBy(
+        "obec_kod", tiles.tile_prefix_expr("tile_key", 6).alias("tile_prefix")
+    ).agg(F.count("*").alias("n_pages"))
+
+
+def run_spatial_worker(cpus: int, path: str) -> None:
+    """Subprocess entry: run the spatial job at local[cpus], print JSON."""
+    from gdal_vfr_spark import get_spark
+
+    spark = get_spark(
+        f"bench_spatial_{cpus}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 8),
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    n_geo = spark.read.parquet(path).where("lon is not null").count()
+    # full warmup run (JIT, codegen, python worker pool) -> measured
+    # run reports steady-state throughput
+    _materialize(spatial_pipeline(spark, path))
+    t0 = time.time()
+    _materialize(spatial_pipeline(spark, path))
+    dt = time.time() - t0
+    print(json.dumps({"cpus": cpus, "sec": dt, "pages": n_geo, "pages_per_sec": n_geo / dt}))
+
+
+def bench_spatial() -> dict:
+    from gdal_vfr_spark import get_spark, datagen
+
+    if not os.path.exists(SPATIAL_PATH):
+        spark = get_spark(
+            "bench_datagen", extra_conf={"spark.ui.showConsoleProgress": "false"}
+        )
+        datagen.gen_webpages_sql(spark, SPATIAL_N).repartition(64).write.mode(
+            "overwrite"
+        ).parquet(SPATIAL_PATH)
+        spark.stop()
+    out = {}
+    for cpus, tag in ((8, "n8"), (32, "n32")):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--spatial-worker", str(cpus), SPATIAL_PATH],
+            capture_output=True,
+            text=True,
+            cwd=REPO,
+        )
+        line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
+        out[tag] = json.loads(line)
+    thr8 = out["n8"]["pages_per_sec"]
+    thr32 = out["n32"]["pages_per_sec"]
+    out["scaling_efficiency"] = (thr32 / thr8) / 4.0
+    return out
+
+
+def main() -> None:
+    if len(sys.argv) > 2 and sys.argv[1] == "--spatial-worker":
+        run_spatial_worker(int(sys.argv[2]), sys.argv[3])
+        return
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    skip_spatial = os.environ.get("SPARK_GRAFT_SKIP_SPATIAL") == "1"
+
+    import __spark_entry__ as entrymod
+    from gdal_vfr_spark import get_spark
+
+    spark = get_spark(
+        "bench",
+        master=f"local[{cpus}]",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        df = qs[name](spark, sf_dir)
+        _materialize(df.limit(1))  # plan warmup
+        t0 = time.time()
+        _materialize(qs[name](spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+    total = round(sum(timings.values()), 3)
+    spark.stop()
+
+    spatial = None if skip_spatial else bench_spatial()
+
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    result = {
+        "metric": "headline suite seconds (spatial-join+tile throughput in .spatial)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if spatial:
+        result["spatial"] = {
+            "input_pages": spatial["n32"]["pages"],
+            "pages_per_sec_n8": round(spatial["n8"]["pages_per_sec"]),
+            "pages_per_sec_n32": round(spatial["n32"]["pages_per_sec"]),
+            "scaling_efficiency_n_to_4n": round(spatial["scaling_efficiency"], 3),
+        }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -299,6 +299,57 @@ def gen_tombstones_pdf(seed: int = 42, n: int = 10) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+def gen_webpages_sql(spark, n: int, null_frac_denom: int = 20, hotspot_denom: int = 4):
+    """Spark-native webpages generator for bench scale: pure column
+    expressions over spark.range(n) — distributed, deterministic, no
+    driver-side pandas. Same semantics as gen_webpages_pdf: lon/lat in
+    the obce extent, 1/null_frac_denom null geotags, 1/hotspot_denom of
+    rows concentrated in the megacity obec (skew), ground-truth obec kod
+    and tile key emitted by construction."""
+    from pyspark.sql import functions as F
+
+    from gdal_vfr_spark.geo import cells as C
+
+    df = spark.range(n).withColumnRenamed("id", "i")
+    # deterministic pseudo-randoms from multiplicative hashing (never on
+    # the 0.1-degree grid boundaries: odd 1/10000 offsets)
+    u1 = (F.lit(2) * ((F.col("i") * 7919) % 5000) + 1).cast("double") / F.lit(10000.0)
+    u2 = (F.lit(2) * ((F.col("i") * 104729) % 5000) + 1).cast("double") / F.lit(10000.0)
+    hot = (F.col("i") % hotspot_denom) == 0
+    hx, hy = GRID // 2, GRID // 2
+    dx, dy = _dx(), _dy()
+    lon = F.when(
+        hot, F.lit(LON0) + (F.lit(float(hx)) + F.lit(0.375) + u1 * F.lit(0.25)) * F.lit(dx)
+    ).otherwise(F.lit(LON0) + u1 * F.lit(LON1 - LON0))
+    lat = F.when(
+        hot, F.lit(LAT0) + (F.lit(float(hy)) + F.lit(0.375) + u2 * F.lit(0.25)) * F.lit(dy)
+    ).otherwise(F.lit(LAT0) + u2 * F.lit(LAT1 - LAT0))
+    is_null = (F.col("i") % null_frac_denom) == 7
+    lon = F.when(is_null, F.lit(None).cast("double")).otherwise(lon)
+    lat = F.when(is_null, F.lit(None).cast("double")).otherwise(lat)
+    ix = F.least(F.floor((lon - F.lit(LON0)) / F.lit(dx)).cast("long"), F.lit(GRID - 1))
+    iy = F.least(F.floor((lat - F.lit(LAT0)) / F.lit(dy)).cast("long"), F.lit(GRID - 1))
+    text = F.concat(F.lit("page "), F.col("i").cast("string"), F.lit(" content body"))
+    return df.select(
+        F.concat(F.lit("https://example.cz/p/"), F.col("i").cast("string")).alias("url"),
+        (F.lit("2024-01-01 00:00:00").cast("timestamp") + F.make_interval(secs=F.col("i") % 86400)).alias("warc_ts"),
+        F.encode(text, "utf-8").alias("html"),
+        text.alias("text"),
+        F.element_at(
+            F.array(F.lit("cs"), F.lit("cs"), F.lit("en"), F.lit("de")),
+            (F.col("i") % 4 + 1).cast("int"),
+        ).alias("lang"),
+        lon.alias("lon"),
+        lat.alias("lat"),
+        F.when(is_null, F.lit(-1)).otherwise(F.lit(OBEC_BASE) + iy * GRID + ix).alias(
+            "truth_obec_kod"
+        ),
+        F.when(is_null, F.lit(-1)).otherwise(C.cell_expr(lon, lat, TILE_RES)).alias(
+            "truth_tile_key"
+        ),
+    )
+
+
 # ------------------------------------------------------------- Spark entry
 
 

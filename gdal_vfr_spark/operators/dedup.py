@@ -65,32 +65,48 @@ def minhash_lsh_pairs(
     rows = num_hashes // bands
     if bands * rows != num_hashes:
         raise ValueError("bands must divide num_hashes")
-    sig = with_minhash(df, text_col, num_hashes, shingle_n).select(
-        F.col(id_col), F.col("minhash"), band_keys_expr(F.col("minhash"), bands, rows).alias("bk")
-    )
-    exploded = sig.select(id_col, "minhash", F.explode("bk").alias("band_key"))
-    a = exploded.alias("a")
-    b = exploded.alias("b")
-    pairs = (
-        a.join(b, on="band_key")
-        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.minhash").alias("mh_a"),
-            F.col("b.minhash").alias("mh_b"),
+    # repartition first: a small parquet input arrives as 1-2 partitions
+    # and the md5 signature grind would run on one core; at real scale
+    # the input is already thousands of partitions and this coalesces to
+    # the same shuffle the join needs anyway.
+    # persist the signature: without a materialization boundary,
+    # Catalyst's CollapseProject inlines the 16-min signature expression
+    # into every band-key expression (9x recompute of all the md5 work)
+    spark = df.sparkSession
+    sig = (
+        with_minhash(
+            df.repartition(spark.sparkContext.defaultParallelism, id_col),
+            text_col,
+            num_hashes,
+            shingle_n,
         )
-        .distinct()
+        .select(id_col, "minhash")
+        .persist()
     )
+    exploded = sig.select(
+        id_col, "minhash", F.explode(band_keys_expr(F.col("minhash"), bands, rows)).alias("band_key")
+    )
+    a = exploded.select(F.col(id_col).alias("id_a"), F.col("band_key")).alias("a")
+    b = exploded.select(F.col(id_col).alias("id_b"), F.col("band_key")).alias("b")
+    # distinct over bare id pairs (cheap), then rejoin the cached
+    # signatures once per pair for the agreement estimate
+    pairs = (
+        a.join(b, on="band_key").where(F.col("id_a") < F.col("id_b")).select("id_a", "id_b").distinct()
+    )
+    sa = sig.select(F.col(id_col).alias("id_a"), F.col("minhash").alias("mh_a"))
+    sb = sig.select(F.col(id_col).alias("id_b"), F.col("minhash").alias("mh_b"))
     agree = F.size(
         F.filter(
             F.zip_with(F.col("mh_a"), F.col("mh_b"), lambda x, y: x == y),
             lambda eq: eq,
         )
     )
-    return pairs.withColumn(
-        "jaccard_est", (agree.cast("double") / F.lit(float(num_hashes)))
-    ).drop("mh_a", "mh_b")
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard_est", agree.cast("double") / F.lit(float(num_hashes)))
+        .select("id_a", "id_b", "jaccard_est")
+    )
 
 
 def ngram_jaccard_pairs(

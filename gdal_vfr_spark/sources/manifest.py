@@ -1,0 +1,80 @@
+"""Batch-manifest source: the engine's replacement for the reference's
+file-list/download machinery (S2/S3, vfrogr.py:224-359, parse.py:53-64,
+utils.py:45-176).
+
+The reference resolves `--type ST_UKSH --date 20240601:20240603` into
+concrete VFR file names (date defaulting, interval expansion, URL
+prefixing). Here the same resolution produces a *manifest DataFrame* of
+batch ids that drives the per-batch loop — no network: at runtime
+batches are pre-landed tables/partitions.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def infer_default_date(vfr_type: str, today: dt.date) -> dt.date:
+    """Date defaulting (parse.py:53-57, utils.py:122-146): change types
+    (ST_Z* / OB_Z*) default to yesterday; full dumps default to the last
+    day of the previous month."""
+    parts = vfr_type.split("_")
+    is_change = len(parts) > 1 and parts[1].upper().startswith("Z")
+    if is_change:
+        return today - dt.timedelta(days=1)
+    first_of_month = today.replace(day=1)
+    return first_of_month - dt.timedelta(days=1)
+
+
+def expand_date_interval(spec: str, today: dt.date | None = None) -> list[dt.date]:
+    """`YYYYMMDD:YYYYMMDD` -> day list (utils.py:148-176); open-ended
+    `YYYYMMDD:` runs to yesterday; single date passes through."""
+    today = today or dt.date.today()
+
+    def parse(s: str) -> dt.date:
+        return dt.datetime.strptime(s, "%Y%m%d").date()
+
+    if ":" not in spec:
+        return [parse(spec)]
+    lo, _, hi = spec.partition(":")
+    start = parse(lo)
+    end = parse(hi) if hi else today - dt.timedelta(days=1)
+    if end < start:
+        raise ValueError(f"empty date interval {spec!r}")
+    return [start + dt.timedelta(days=i) for i in range((end - start).days + 1)]
+
+
+def resolve_file_names(
+    vfr_type: str, dates: list[dt.date], special: bool = False
+) -> list[str]:
+    """`{date}_{type}.xml.gz|zip` synthesis (parse.py:74-79) with the
+    soucasna/specialni routing for UVOH files (vfrogr.py:346-350)."""
+    ext = "xml.zip" if special or vfr_type.upper().endswith("UVOH") else "xml.gz"
+    prefix = "specialni" if special or vfr_type.upper().endswith("UVOH") else "soucasna"
+    return [f"{prefix}/{d.strftime('%Y%m%d')}_{vfr_type}.{ext}" for d in dates]
+
+
+def batch_manifest(
+    spark,
+    vfr_type: str,
+    date_spec: str | None = None,
+    today: dt.date | None = None,
+) -> DataFrame:
+    """Manifest DataFrame: one row per batch with id, date, mode.
+    Mode column implements M1 dispatch (vfrogr.py:992-1003)."""
+    from gdal_vfr_spark.operators.merge import decide_mode
+
+    today = today or dt.date.today()
+    dates = (
+        expand_date_interval(date_spec, today)
+        if date_spec
+        else [infer_default_date(vfr_type, today)]
+    )
+    names = resolve_file_names(vfr_type, dates)
+    rows = [
+        (name, d.strftime("%Y%m%d"), vfr_type, decide_mode(name))
+        for name, d in zip(names, dates)
+    ]
+    return spark.createDataFrame(rows, "batch_id string, date string, vfr_type string, mode string")

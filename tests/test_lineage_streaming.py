@@ -1,0 +1,138 @@
+import datetime as dt
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from gdal_vfr_spark import datagen
+from gdal_vfr_spark.plans import skew
+from gdal_vfr_spark.plans.lineage import LineageLog, run_stage_resumable
+from gdal_vfr_spark.sources import (
+    batch_manifest,
+    expand_date_interval,
+    infer_default_date,
+    resolve_file_names,
+)
+from gdal_vfr_spark.streaming.incremental import change_stream_merge, windowed_event_counts
+
+
+def test_lineage_resume(spark, tmp_path):
+    pages = datagen.gen_webpages(spark, n=1000, seed=31).where("lon is not null")
+    log = LineageLog(spark, str(tmp_path / "lineage"))
+    out = str(tmp_path / "out")
+
+    def transform(part):
+        return part.select("url", "lon", "lat", "truth_obec_kod")
+
+    done1 = run_stage_resumable(spark, pages, "extract", transform, log, out, prefix_res=8)
+    assert len(done1) > 1  # multiple spatial units
+    # re-run: everything already committed -> nothing to do
+    done2 = run_stage_resumable(spark, pages, "extract", transform, log, out, prefix_res=8)
+    assert done2 == []
+    # lineage carries counts + hashes per unit
+    lin = log.read().toPandas()
+    assert set(lin["stage"]) == {"extract"}
+    assert lin["n_rows"].sum() == pages.count()
+    assert (lin["content_hash"] != 0).all()
+    # simulate a crash: drop one unit from the log -> exactly one redone
+    import shutil
+
+    first_unit = int(lin["unit"].iloc[0])
+    remaining = log.read().where(F.col("unit") != first_unit)
+    pdf = remaining.toPandas()
+    shutil.rmtree(str(tmp_path / "lineage"))
+    log2 = LineageLog(spark, str(tmp_path / "lineage"))
+    if len(pdf):
+        from gdal_vfr_spark.operators.merge import ParquetTable
+
+        ParquetTable(spark, str(tmp_path / "lineage")).write(
+            spark.createDataFrame(pdf, remaining.schema)
+        )
+    done3 = run_stage_resumable(spark, pages, "extract", transform, log2, out, prefix_res=8)
+    assert done3 == [first_unit]
+
+
+def test_hot_keys_and_salted_join(spark):
+    pages = datagen.gen_webpages(spark, n=5000, seed=33).where("lon is not null")
+    hot = skew.hot_keys(pages, "truth_obec_kod", sample_frac=0.3, threshold_frac=0.1)
+    assert hot, "megacity hotspot must be detected"
+    hot_kod = datagen.OBEC_BASE + (datagen.GRID // 2) * datagen.GRID + datagen.GRID // 2
+    assert hot_kod in hot
+
+    dim = datagen.gen_obce(spark, seed=33).select(
+        F.col("kod").alias("truth_obec_kod"), "nazev"
+    )
+    plain = pages.join(dim, on="truth_obec_kod").count()
+    salted = skew.salted_equi_join(
+        pages, dim, on="truth_obec_kod", n_salt=8, fact_stable_col="url"
+    ).count()
+    salted_hot = skew.salted_equi_join(
+        pages, dim, on="truth_obec_kod", n_salt=8, fact_stable_col="url", hot_only=hot
+    ).count()
+    assert plain == salted == salted_hot
+
+
+def test_manifest_dates():
+    today = dt.date(2024, 7, 7)
+    assert infer_default_date("ST_UKSH", today) == dt.date(2024, 6, 30)
+    assert infer_default_date("ST_ZKSH", today) == dt.date(2024, 7, 6)
+    days = expand_date_interval("20240628:20240701", today)
+    assert [d.day for d in days] == [28, 29, 30, 1]
+    assert expand_date_interval("20240706:", today) == [dt.date(2024, 7, 6)]
+    with pytest.raises(ValueError):
+        expand_date_interval("20240706:20240701", today)
+    names = resolve_file_names("ST_UKSH", [dt.date(2024, 6, 30)])
+    assert names == ["soucasna/20240630_ST_UKSH.xml.gz"]
+    assert resolve_file_names("ST_UVOH", [dt.date(2024, 6, 30)]) == [
+        "specialni/20240630_ST_UVOH.xml.zip"
+    ]
+
+
+def test_batch_manifest(spark):
+    m = batch_manifest(spark, "ST_ZKSH", "20240701:20240703").collect()
+    assert len(m) == 3
+    assert all(r["mode"] == "change" for r in m)
+    m2 = batch_manifest(spark, "OB_UKSH", today=dt.date(2024, 7, 7)).collect()
+    assert m2[0]["mode"] == "write" and m2[0]["date"] == "20240630"
+
+
+def test_change_stream_merge(spark, tmp_path):
+    changes = datagen.gen_changes(spark, n_add=10, n_update=0)
+    d = str(tmp_path / "changes_in")
+    changes.write.mode("overwrite").parquet(d)
+    table = change_stream_merge(
+        spark,
+        d,
+        changes.schema,
+        str(tmp_path / "target"),
+        str(tmp_path / "ckpt"),
+    )
+    assert table.read().count() == 10
+    # second batch arrives -> only the new file is processed (offset log)
+    more = datagen.gen_changes(spark, n_add=20, n_update=0)
+    more.limit(5).write.mode("append").parquet(d)
+    table = change_stream_merge(
+        spark, d, changes.schema, str(tmp_path / "target"), str(tmp_path / "ckpt")
+    )
+    assert table.read().select("gml_id").distinct().count() >= 10
+
+
+def test_windowed_event_counts_stream(spark, tmp_path):
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src = str(tmp_path / "ev")
+    events.limit(2000).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    agg = windowed_event_counts(stream)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wincounts")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # append mode emits only windows closed by the watermark; with a
+    # bounded source the final windows stay open -> compare row shape
+    got = spark.sql("select * from wincounts")
+    assert set(got.columns) == {"window_start", "event_type", "n", "sum_value"}

@@ -501,7 +501,7 @@ def q_geo_tile_counts(spark, sf_dir):
     recomputes the Morton interleave in SQL bit ops."""
     g = _events_geo(spark, sf_dir)
     return (
-        g.withColumn("tile_key", cells.cell_expr("lon", "lat", 12))
+        cells.with_cell(g, 12, out_col="tile_key")
         .groupBy("tile_key")
         .agg(F.count("*").alias("n"))
         .orderBy("tile_key")

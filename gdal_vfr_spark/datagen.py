@@ -103,9 +103,15 @@ def gen_webpages_pdf(n: int = 10_000, seed: int = 42, null_frac: float = 0.05,
     return pdf
 
 
-def _grid_polygon(x0: float, y0: float, dx: float, dy: float, shrink: float = 0.0):
+def _grid_polygon(x0: float, y0: float, dx: float, dy: float, shrink: float = 0.0,
+                  densify: int = 1):
+    """Axis-aligned cell ring. densify>1 inserts collinear vertices
+    along each side — identical geometry (containment/ground truth
+    unchanged) but realistic vertex counts (real RUIAN municipality
+    boundaries run to hundreds of vertices), so PIP refinement does
+    honest per-edge work in benchmarks."""
     sx, sy = dx * shrink, dy * shrink
-    ring = np.asarray(
+    corners = np.asarray(
         [
             [x0 + sx, y0 + sy],
             [x0 + dx - sx, y0 + sy],
@@ -114,10 +120,17 @@ def _grid_polygon(x0: float, y0: float, dx: float, dy: float, shrink: float = 0.
             [x0 + sx, y0 + sy],
         ]
     )
-    return ring
+    if densify <= 1:
+        return corners
+    pts = []
+    for a, b in zip(corners[:-1], corners[1:]):
+        for t in np.linspace(0.0, 1.0, densify, endpoint=False):
+            pts.append(a + (b - a) * t)
+    pts.append(corners[-1])
+    return np.asarray(pts)
 
 
-def gen_obce_pdf(seed: int = 42) -> pd.DataFrame:
+def gen_obce_pdf(seed: int = 42, densify: int = 1) -> pd.DataFrame:
     """Municipality layer: 3 geometry columns + validity flags
     (gfs/Obce.gfs:8-24 analogue, multi-geometry per SURVEY.md §1.1)."""
     rng = np.random.default_rng(seed + 1)
@@ -127,7 +140,7 @@ def gen_obce_pdf(seed: int = 42) -> pd.DataFrame:
         for ix in range(GRID):
             kod = int(obec_kod(np.asarray([ix]), np.asarray([iy]))[0])
             x0, y0 = LON0 + ix * dx, LAT0 + iy * dy
-            ring = _grid_polygon(x0, y0, dx, dy)
+            ring = _grid_polygon(x0, y0, dx, dy, densify=densify)
             gen = (
                 wkb.multipolygon([[_grid_polygon(x0, y0, dx, dy, shrink=0.02)]])
                 if rng.random() > 0.30  # ~30% NULL exercises coalesce chain
@@ -373,10 +386,10 @@ def gen_webpages(spark, n: int = 10_000, seed: int = 42, **kw):
     return spark.createDataFrame(gen_webpages_pdf(n, seed, **kw))
 
 
-def gen_obce(spark, seed: int = 42):
+def gen_obce(spark, seed: int = 42, densify: int = 1):
     return spark_df(
         spark,
-        gen_obce_pdf(seed),
+        gen_obce_pdf(seed, densify=densify),
         binary_cols=("definicni_bod", "originalni_hranice", "generalizovane_hranice"),
     )
 

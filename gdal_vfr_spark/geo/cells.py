@@ -241,7 +241,36 @@ def cell_mixed_res_udf(lon: pd.Series, lat: pd.Series, res: pd.Series) -> pd.Ser
 
 
 def with_cell(df, res: int, lon_col: str = "lon", lat_col: str = "lat", out_col: str = "cell"):
-    """Attach a cell-id column (pure Catalyst expression — stays in
-    whole-stage codegen); null geotags map to cell -1 and can be
-    filtered like the reference's null-geometry skip (vfrogr.py:592-598)."""
-    return df.withColumn(out_col, cell_expr(lon_col, lat_col, res))
+    """Attach a cell-id column — THE hot path for 10^12 rows.
+
+    Built as a chain of small projections (one per Morton spread step)
+    rather than one Column expression: a single nested expression
+    duplicates its subtree at every step that references it twice
+    (2^5 copies of the quantization arithmetic), which blows past the
+    JVM codegen method limit and falls back to interpreted eval.
+    Chained withColumns keep every step's input an *attribute*, which
+    CollapseProject will not inline (non-cheap, referenced twice), so
+    each step is computed exactly once inside whole-stage codegen.
+
+    Null geotags map to cell -1 and can be filtered like the
+    reference's null-geometry skip (vfrogr.py:592-598).
+    """
+    if not 0 <= res <= MAX_RES:
+        raise ValueError(f"res must be in [0, {MAX_RES}]")
+    lon, lat = F.col(lon_col), F.col(lat_col)
+    n = 1 << res
+    gx, gy = f"__gx_{out_col}", f"__gy_{out_col}"
+
+    def quant(v, lo: float, span: float):
+        q = F.floor((v + F.lit(lo)) / F.lit(span) * F.lit(float(n)))
+        return F.least(F.greatest(q, F.lit(0)), F.lit(n - 1)).cast("long")
+
+    out = df.withColumn(gx, quant(lon, 180.0, 360.0)).withColumn(gy, quant(lat, 90.0, 180.0))
+    for shift, mask in _SPREAD_STEPS:
+        cx, cy = F.col(gx), F.col(gy)
+        out = out.withColumn(gx, (cx.bitwiseOR(F.shiftleft(cx, shift))).bitwiseAND(F.lit(mask)))
+        out = out.withColumn(gy, (cy.bitwiseOR(F.shiftleft(cy, shift))).bitwiseAND(F.lit(mask)))
+    morton = F.col(gx).bitwiseOR(F.shiftleft(F.col(gy), 1))
+    cell = F.shiftleft(morton, _RES_BITS).bitwiseOR(F.lit(res))
+    bad = lon.isNull() | lat.isNull() | F.isnan(lon) | F.isnan(lat)
+    return out.withColumn(out_col, F.when(bad, F.lit(-1)).otherwise(cell)).drop(gx, gy)

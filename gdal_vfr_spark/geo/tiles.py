@@ -36,7 +36,10 @@ def with_tile_key(
     lat_col: str = "lat",
     out_col: str = "tile_key",
 ) -> DataFrame:
-    return df.withColumn(out_col, tile_key_expr(lon_col, lat_col, res))
+    # chained-projection construction (see cells.with_cell): one copy of
+    # each Morton step inside codegen instead of an exponentially
+    # duplicated single expression
+    return cells.with_cell(df, res, lon_col, lat_col, out_col)
 
 
 def tile_prefix_expr(tile_col="tile_key", prefix_res: int = 6, tile_res: int = DEFAULT_TILE_RES):

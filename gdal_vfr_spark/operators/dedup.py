@@ -19,9 +19,16 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.types import ArrayType, LongType, StringType
 
 from gdal_vfr_spark.functions.text_expr import (
+    TOKEN_SPLIT_RE,
     band_keys_expr,
     minhash_signature_expr,
     shingles_expr,
@@ -45,10 +52,35 @@ def with_minhash(
     num_hashes: int = 16,
     shingle_n: int = 5,
     out_col: str = "minhash",
+    use_expr: bool = False,
 ) -> DataFrame:
-    return df.withColumn(
-        out_col, minhash_signature_expr(shingles_expr(text_col, shingle_n), num_hashes)
-    )
+    """MinHash signature column. Default path is the Arrow pandas UDF
+    (hashlib md5, C speed); use_expr=True selects the pure-Catalyst
+    expression — same md5(i:shingle) spec, bit-identical output, but
+    Spark's higher-order functions are interpreted (not codegen'd) so
+    it is ~5-10x slower. Tests pin both paths equal."""
+    if use_expr:
+        return df.withColumn(
+            out_col, minhash_signature_expr(shingles_expr(text_col, shingle_n), num_hashes)
+        )
+
+    prefixes = [f"{i}:".encode() for i in range(num_hashes)]
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def _sig(texts: pd.Series) -> pd.Series:
+        out = []
+        md5 = hashlib.md5
+        for t in texts:
+            t = t or ""
+            upper = max(len(t) - shingle_n + 1, 1)
+            shingles = {t[i : i + shingle_n] for i in range(upper)}
+            enc = [s.encode() for s in shingles]
+            out.append(
+                [min(md5(p + e).hexdigest() for e in enc) if enc else None for p in prefixes]
+            )
+        return pd.Series(out)
+
+    return df.withColumn(out_col, _sig(F.col(text_col)))
 
 
 def minhash_lsh_pairs(
@@ -181,11 +213,47 @@ def _simhash_expr(text_col: str, bits: int = 64) -> F.Column:
 
 
 def with_simhash(
-    df: DataFrame, text_col: str = "text", bits: int = 64, out_col: str = "simhash"
+    df: DataFrame, text_col: str = "text", bits: int = 64, out_col: str = "simhash",
+    use_expr: bool = False,
 ) -> DataFrame:
-    """64-bit SimHash fingerprint column. Near-dup = small Hamming
-    distance; query via bit_count(a ^ b) <= d on candidate pairs."""
-    return df.withColumn(out_col, _simhash_expr(text_col, bits))
+    """SimHash fingerprint column (bit j = majority vote of bit j of
+    md5(token) across tokens, MSB-first). Near-dup = small Hamming
+    distance; query via bit_count(a ^ b) <= d on candidate pairs.
+
+    Default path: Arrow pandas UDF (hashlib + numpy bit unpack) — the
+    pure-expression twin (use_expr=True) is interpreted and ~20x
+    slower; tests pin both equal."""
+    if use_expr:
+        return df.withColumn(out_col, _simhash_expr(text_col, bits))
+
+    nhex = bits // 4
+    token_re = re.compile(TOKEN_SPLIT_RE)
+
+    @F.pandas_udf(LongType())
+    def _sh(texts: pd.Series) -> pd.Series:
+        md5 = hashlib.md5
+        out = np.zeros(len(texts), dtype=np.int64)
+        weights = (np.int64(1) << np.arange(bits - 1, -1, -1).astype(np.int64))
+        for row, t in enumerate(texts):
+            toks = [x for x in token_re.split((t or "").lower()) if x]
+            if not toks:
+                out[row] = 0
+                continue
+            # nibble matrix: (n_tokens, nhex) -> bit matrix (n_tokens, bits)
+            hexes = np.frombuffer(
+                b"".join(md5(tok.encode()).hexdigest()[:nhex].encode() for tok in toks),
+                dtype=np.uint8,
+            ).reshape(len(toks), nhex)
+            nibbles = np.where(hexes >= 97, hexes - 87, hexes - 48).astype(np.int16)
+            shifts = np.asarray([3, 2, 1, 0], dtype=np.int16)
+            bits_m = ((nibbles[:, :, None] >> shifts[None, None, :]) & 1).reshape(
+                len(toks), bits
+            )
+            votes = (2 * bits_m.astype(np.int64) - 1).sum(axis=0)
+            out[row] = int(((votes > 0).astype(np.int64) * weights).sum())
+        return pd.Series(out)
+
+    return df.withColumn(out_col, _sh(F.col(text_col)))
 
 
 def simhash_near_pairs(

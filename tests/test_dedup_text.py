@@ -142,3 +142,23 @@ def test_multimodal_plumbing(spark):
     assert len(frames) == 8
     with pytest.raises(Exception):
         multimodal.resize_stub(df, 4, 4).collect()
+
+
+def test_minhash_fast_equals_expr(spark, docs):
+    fast = dedup.with_minhash(docs).select("doc_id", "minhash").collect()
+    slow = dedup.with_minhash(docs, use_expr=True).select("doc_id", "minhash").collect()
+    assert {r["doc_id"]: r["minhash"] for r in fast} == {
+        r["doc_id"]: r["minhash"] for r in slow
+    }
+
+
+def test_simhash_fast_equals_expr(spark, docs):
+    nonempty = docs.where("length(text) > 0")
+    for bits in (32, 64):
+        fast = dedup.with_simhash(nonempty, bits=bits).select("doc_id", "simhash").collect()
+        slow = dedup.with_simhash(nonempty, bits=bits, use_expr=True).select(
+            "doc_id", "simhash"
+        ).collect()
+        assert {r["doc_id"]: r["simhash"] for r in fast} == {
+            r["doc_id"]: r["simhash"] for r in slow
+        }, bits

@@ -122,7 +122,10 @@ def bench_spatial() -> dict:
         ).parquet(SPATIAL_PATH)
         spark.stop()
     out = {}
-    for cpus, tag in ((8, "n8"), (32, "n32")):
+    lo, hi = (
+        int(x) for x in os.environ.get("SPARK_GRAFT_BENCH_LEVELS", "2,8").split(",")
+    )
+    for cpus, tag in ((lo, "n8"), (hi, "n32")):
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--spatial-worker", str(cpus), SPATIAL_PATH],
             capture_output=True,

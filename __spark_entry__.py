@@ -622,6 +622,94 @@ def q_embedding_near_dup(spark, sf_dir):
     )
 
 
+def q_geo_pip_hierarchy(spark, sf_dir):
+    """§1.4 FK hierarchy — containment through the FINER layer: pages ->
+    katastralni uzemi polygons (400, real PIP) -> roll up to obce via
+    the KU->obec parent FK. Must equal direct obec containment (the
+    reference's carried parent codes are consistent by construction)."""
+    _ensure_shipped(spark)
+    g = _events_geo(spark, sf_dir)
+    ku = datagen.gen_katastralni_uzemi(spark)
+    joined = point_in_polygon_join(
+        g, ku, poly_key="kod", geom_col="originalni_hranice", out_key="ku_kod"
+    )
+    parents = ku.select(F.col("kod").alias("ku_kod"), F.col("obec_kod"))
+    return (
+        joined.join(F.broadcast(parents), "ku_kod")
+        .groupBy("obec_kod")
+        .agg(F.count("*").alias("n_pages"))
+        .orderBy("obec_kod")
+    )
+
+
+def q_so2_union(spark, sf_dir):
+    """SO2 — multi-batch union (vfrogr.py:934-1025): two halves of
+    lineitem unioned, counted per returnflag."""
+    from gdal_vfr_spark.operators.setops import union_batches
+
+    li = _read(spark, sf_dir, "lineitem")
+    a = li.where(F.col("l_orderkey") % 2 == 0)
+    b = li.where(F.col("l_orderkey") % 2 == 1)
+    return (
+        union_batches([a, b])
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"))
+        .orderBy("l_returnflag")
+    )
+
+
+def q_a5_max_fid(spark, sf_dir):
+    """A5 — max-key aggregate (vfrpg.py:184-211)."""
+    o = _read(spark, sf_dir, "orders")
+    return o.agg(F.max("o_orderkey").alias("max_fid"))
+
+
+def q_p2_key_lookup(spark, sf_dir):
+    """P2 — natural-key point lookup (vfrogr.py:813)."""
+    from gdal_vfr_spark.operators.projections import key_lookup
+
+    e = _read(spark, sf_dir, "events")
+    return key_lookup(e, 1234, key_col="event_id").select("event_id", "user_id", "event_type")
+
+
+def q_m3_merge_state(spark, sf_dir):
+    """M3 — declarative change merge: final state = survivors UNION
+    upserts (vfrogr.py:546-580). Current = customers with key%3!=0;
+    changes = updates (key%6==0 -> new segment) + adds (key+1e6)."""
+    from gdal_vfr_spark.operators.merge import apply_changes
+
+    c = _read(spark, sf_dir, "customer")
+    current = c.where(F.col("c_custkey") % 3 != 0).select("c_custkey", "c_mktsegment")
+    updates = c.where(F.col("c_custkey") % 6 == 0).select(
+        "c_custkey", F.lit("UPDATED").alias("c_mktsegment")
+    )
+    adds = c.where(F.col("c_custkey") % 10 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"), F.lit("NEW").alias("c_mktsegment")
+    )
+    changes = updates.unionByName(adds).withColumn("action", F.lit("upsert"))
+    merged = apply_changes(current, changes, key="c_custkey")
+    return merged.groupBy("c_mktsegment").agg(F.count("*").alias("n")).orderBy("c_mktsegment")
+
+
+def q_f5_key_synthesis(spark, sf_dir):
+    """F5/F6 — '{lcode}.{id}' key synthesis (vfrogr.py:885) + lower."""
+    o = _read(spark, sf_dir, "orders").where(F.col("o_orderkey") % 50 == 0)
+    return o.select(
+        F.concat_ws(".", F.lower(F.col("o_orderstatus")), F.col("o_orderkey")).alias("gml_id")
+    ).orderBy("gml_id")
+
+
+def q_dedup_representatives(spark, sf_dir):
+    """Representative selection after LSH dedup: ids kept (min-id rule,
+    transitive collapse)."""
+    docs = _read(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, num_hashes=16, bands=8).where(
+        F.col("jaccard_est") >= 0.5
+    )
+    kept = dedup.dedup_keep_representatives(docs, pairs)
+    return kept.select("doc_id").orderBy("doc_id")
+
+
 # --------------------------------------------------------------------------
 
 
@@ -664,6 +752,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "multimodal_meta": q_multimodal_meta,
         "embedding_near_dup": q_embedding_near_dup,
+        "geo_pip_hierarchy": q_geo_pip_hierarchy,
+        "so2_union": q_so2_union,
+        "a5_max_fid": q_a5_max_fid,
+        "p2_key_lookup": q_p2_key_lookup,
+        "m3_merge_state": q_m3_merge_state,
+        "f5_key_synthesis": q_f5_key_synthesis,
+        "dedup_representatives": q_dedup_representatives,
     }
 
 
@@ -813,4 +908,40 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY lang ORDER BY lang
         """,
         "ann_topk": _duck_cosine_topk_sql() + " ORDER BY query_id, rank",
+        "geo_pip_hierarchy": f"""
+            SELECT {ORACLE_OBEC} AS obec_kod, count(*) AS n_pages
+            FROM ({geo}) WHERE lon IS NOT NULL
+            GROUP BY 1 ORDER BY obec_kod
+        """,
+        "so2_union": """
+            SELECT l_returnflag, count(*) AS n FROM lineitem
+            GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "a5_max_fid": "SELECT max(o_orderkey) AS max_fid FROM orders",
+        "p2_key_lookup": """
+            SELECT event_id, user_id, event_type FROM events WHERE event_id = 1234
+        """,
+        "m3_merge_state": """
+            WITH current AS (
+              SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 3 <> 0),
+            changes AS (
+              SELECT c_custkey, 'UPDATED' AS c_mktsegment FROM customer WHERE c_custkey % 6 = 0
+              UNION ALL
+              SELECT c_custkey + 1000000, 'NEW' FROM customer WHERE c_custkey % 10 = 0),
+            merged AS (
+              SELECT * FROM current WHERE c_custkey NOT IN (SELECT c_custkey FROM changes)
+              UNION ALL SELECT * FROM changes)
+            SELECT c_mktsegment, count(*) AS n FROM merged
+            GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """,
+        "f5_key_synthesis": """
+            SELECT concat_ws('.', lower(o_orderstatus), o_orderkey) AS gml_id
+            FROM orders WHERE o_orderkey % 50 = 0 ORDER BY gml_id
+        """,
+        "dedup_representatives": f"""
+            WITH mh AS ({_duck_minhash_sql()}),
+            victims AS (SELECT DISTINCT id_b FROM mh WHERE jaccard_est >= 0.5)
+            SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT id_b FROM victims)
+            ORDER BY doc_id
+        """,
     }

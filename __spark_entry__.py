@@ -710,6 +710,33 @@ def q_dedup_representatives(spark, sf_dir):
     return kept.select("doc_id").orderBy("doc_id")
 
 
+def q_asof_join(spark, sf_dir):
+    """As-of join (engine extra; absent in reference §2.11): each event
+    aligned to the user's most recent order on/before the event time.
+    Right side deduped to one order per (custkey, date) for determinism;
+    oracle = DuckDB native ASOF JOIN."""
+    _ensure_shipped(spark)
+    from gdal_vfr_spark.operators.asof import asof_join
+
+    e = (
+        _read(spark, sf_dir, "events")
+        .where(F.col("event_id") % 5 == 0)
+        .select(
+            "event_id",
+            F.col("user_id").alias("by_key"),
+            F.col("ts").cast("timestamp").alias("t"),
+        )
+    )
+    o = _read(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("by_key"),
+        F.col("o_orderdate").cast("timestamp").alias("t"),
+        "o_orderkey",
+    )
+    o1 = o.groupBy("by_key", "t").agg(F.max("o_orderkey").alias("o_orderkey"))
+    out = asof_join(e, o1, on="t", by="by_key", right_cols=["o_orderkey"])
+    return out.select("event_id", "o_orderkey").orderBy("event_id")
+
+
 # --------------------------------------------------------------------------
 
 
@@ -759,6 +786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m3_merge_state": q_m3_merge_state,
         "f5_key_synthesis": q_f5_key_synthesis,
         "dedup_representatives": q_dedup_representatives,
+        "asof_join": q_asof_join,
     }
 
 
@@ -937,6 +965,18 @@ def oracle_sql() -> dict[str, str]:
         "f5_key_synthesis": """
             SELECT concat_ws('.', lower(o_orderstatus), o_orderkey) AS gml_id
             FROM orders WHERE o_orderkey % 50 = 0 ORDER BY gml_id
+        """,
+        "asof_join": """
+            WITH e AS (
+              SELECT event_id, user_id AS by_key, ts AS t FROM events
+              WHERE event_id % 5 = 0),
+            o1 AS (
+              SELECT o_custkey AS by_key, CAST(o_orderdate AS TIMESTAMP) AS t,
+                     max(o_orderkey) AS o_orderkey
+              FROM orders GROUP BY 1, 2)
+            SELECT e.event_id, o1.o_orderkey
+            FROM e ASOF LEFT JOIN o1 ON e.by_key = o1.by_key AND e.t >= o1.t
+            ORDER BY event_id
         """,
         "dedup_representatives": f"""
             WITH mh AS ({_duck_minhash_sql()}),

@@ -136,3 +136,44 @@ def test_windowed_event_counts_stream(spark, tmp_path):
     # bounded source the final windows stay open -> compare row shape
     got = spark.sql("select * from wincounts")
     assert set(got.columns) == {"window_start", "event_type", "n", "sum_value"}
+
+
+def test_asof_join_matches_pandas(spark):
+    import numpy as np
+    from gdal_vfr_spark.operators.asof import asof_join
+
+    rng = np.random.default_rng(9)
+    left = pd.DataFrame(
+        {
+            "id": np.arange(300),
+            "by_key": rng.integers(0, 10, 300),
+            "t": rng.integers(0, 1000, 300).astype("datetime64[s]"),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "by_key": rng.integers(0, 10, 100),
+            "t": rng.integers(0, 1000, 100).astype("datetime64[s]"),
+            "val": np.arange(100, dtype=np.int64),
+        }
+    ).drop_duplicates(["by_key", "t"])
+    out = asof_join(
+        spark.createDataFrame(left),
+        spark.createDataFrame(right),
+        on="t",
+        by="by_key",
+        right_cols=["val"],
+    ).toPandas()
+    want = (
+        pd.merge_asof(
+            left.sort_values("t"),
+            right.sort_values("t"),
+            on="t",
+            by="by_key",
+            direction="backward",
+        )
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    got = out.sort_values("id").reset_index(drop=True)
+    assert got["val"].fillna(-1).tolist() == want["val"].fillna(-1).tolist()

@@ -32,6 +32,7 @@ from gdal_vfr_spark import datagen  # noqa: E402
 from gdal_vfr_spark.geo import cells  # noqa: E402
 from gdal_vfr_spark.geo.knn import knn_join  # noqa: E402
 from gdal_vfr_spark.geo.pip import point_in_polygon_join  # noqa: E402
+from gdal_vfr_spark.functions import html_text  # noqa: E402
 from gdal_vfr_spark.operators import dedup, similarity, text as text_ops  # noqa: E402
 from gdal_vfr_spark.session import package_zip  # noqa: E402
 
@@ -112,6 +113,58 @@ def _duck_cell(lon: str, lat: str, res: int) -> str:
     iy = f"least(greatest(CAST(floor((({lat}) + 90.0) / 180.0 * {float(n)}) AS BIGINT), 0), {n - 1})"
     morton = f"(({_duck_spread(ix)}) | (({_duck_spread(iy)}) << 1))"
     return f"CASE WHEN ({lon}) IS NULL OR ({lat}) IS NULL THEN -1 ELSE (({morton}) << 5) | {res} END"
+
+
+def _duck_tile_join_sql() -> str:
+    """Oracle for q_geo_tile_join: same raster dim (tile-index ranges +
+    Morton spread) and the same tile assignment on the point side."""
+    geo = GEO_SQL.strip()
+    return f"""
+    WITH dim AS (
+      SELECT ix.i AS ix, iy.i AS iy
+      FROM (SELECT unnest(range({_TX0}, {_TX1 + 1})) AS i) ix,
+           (SELECT unnest(range({_TY0}, {_TY1 + 1})) AS i) iy
+    ), dimk AS (
+      SELECT ((({_duck_spread('ix')}) | (({_duck_spread('iy')}) << 1)) << 5) | {_TILE_RES} AS tile_key,
+             (ix + iy) % 5 AS zone
+      FROM dim
+    ), pts AS (
+      SELECT {_duck_cell('lon', 'lat', _TILE_RES)} AS tile_key
+      FROM ({geo}) WHERE lon IS NOT NULL
+    )
+    SELECT zone, count(*) AS n_pages, count(DISTINCT p.tile_key) AS n_tiles
+    FROM pts p JOIN dimk d ON p.tile_key = d.tile_key
+    GROUP BY zone ORDER BY zone
+    """
+
+
+def _duck_text_extract_sql() -> str:
+    """Oracle for q_text_extract: same page synthesis and the same
+    5-step extraction pipeline (html_text module docstring) in RE2."""
+    esc = "coalesce(text, '')"
+    for ch, ent in (("&", "&amp;"), ("<", "&lt;"), (">", "&gt;"),
+                    ('"', "&quot;"), ("''", "&#39;")):
+        esc = f"replace({esc}, '{ch}', '{ent}')"
+    dec = f"""regexp_replace(regexp_replace(html,
+        '{html_text.BLOCK_RE}', ' ', 'g'), '{html_text.TAG_RE}', ' ', 'g')"""
+    for ent, ch in html_text.ENTITIES:
+        ch = ch.replace("'", "''")
+        dec = f"replace({dec}, '{ent}', '{ch}')"
+    dec = f"trim(regexp_replace({dec}, '{html_text.WS_RE}', ' ', 'g'))"
+    return f"""
+    WITH pages AS (
+      SELECT lang,
+             '{_PAGE_HEAD}' || {esc} || '{_PAGE_TAIL.replace("'", "''")}' AS html,
+             trim(regexp_replace('T ' || coalesce(text, '') || ' & <mix>',
+                                 '{html_text.WS_RE}', ' ', 'g')) AS want
+      FROM documents
+    ), ext AS (
+      SELECT lang, want, {dec} AS t FROM pages
+    )
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(CASE WHEN t = want THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+    FROM ext GROUP BY lang ORDER BY lang
+    """
 
 
 # --------------------------------------------------------------------------
@@ -577,6 +630,82 @@ def q_text_fingerprint(spark, sf_dir):
     )
 
 
+_PAGE_HEAD = "<html><head><title>T</title><style>p{color:red}</style></head><body><p>"
+_PAGE_TAIL = "</p><div>&amp; &lt;mix&gt;</div><script>if(x<y&&y>0){go()}</script></body></html>"
+
+
+def q_text_extract(spark, sf_dir):
+    """input_hint per-row invariant — byte-identical extracted text per
+    url. Pages are synthesized from documents.text (entity-escaped into
+    full-page chrome with title/style/script); the engine extraction
+    (functions.html_text, pure Catalyst regex chain, no Python
+    boundary) must reproduce the expected text byte-for-byte. n_match
+    must equal n_docs in BOTH engines."""
+    docs = _read(spark, sf_dir, "documents")
+    text = F.coalesce(F.col("text"), F.lit(""))
+    html = F.encode(
+        F.concat(F.lit(_PAGE_HEAD), html_text.escape_text_expr(text), F.lit(_PAGE_TAIL)),
+        "utf-8",
+    )
+    want = F.trim(
+        F.regexp_replace(
+            F.concat_ws(" ", F.lit("T"), text, F.lit("& <mix>")), html_text.WS_RE, " "
+        )
+    )
+    ext = docs.select(
+        "lang", html_text.extract_text_expr(html).alias("t"), want.alias("want")
+    )
+    return (
+        ext.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("t") == F.col("want"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_match"),
+        )
+        .orderBy("lang")
+    )
+
+
+# res-12 tile-index bounds of the synthetic bbox (lon 14..15, lat 49.5..50.5)
+_TILE_RES = 12
+_TX0 = int((14.0 + 180.0) / 360.0 * (1 << _TILE_RES))
+_TX1 = int((15.0 + 180.0) / 360.0 * (1 << _TILE_RES))
+_TY0 = int((49.5 + 90.0) / 180.0 * (1 << _TILE_RES))
+_TY1 = int((50.5 + 90.0) / 180.0 * (1 << _TILE_RES))
+
+
+def q_geo_tile_join(spark, sf_dir):
+    """J6 north-star — raster<->vector join as a broadcast equi-join on
+    the Z-order tile key: a small raster 'zone' dimension (every res-12
+    tile over the bbox, deterministic zone id) joined to tile-assigned
+    pages; per-zone page + distinct-tile counts. At 100 TB the raster
+    side stays a broadcast dim and the page side never shuffles before
+    the partial aggregate."""
+    g = _events_geo(spark, sf_dir)
+    pts = cells.with_cell(
+        g.where(F.col("lon").isNotNull()), _TILE_RES, out_col="tile_key"
+    )
+    dim = (
+        spark.range(_TX0, _TX1 + 1)
+        .select(F.col("id").alias("ix"))
+        .crossJoin(spark.range(_TY0, _TY1 + 1).select(F.col("id").alias("iy")))
+        .select(
+            cells.cell_from_indices_expr("ix", "iy", _TILE_RES).alias("tile_key"),
+            F.pmod(F.col("ix") + F.col("iy"), F.lit(5)).alias("zone"),
+        )
+    )
+    return (
+        pts.join(F.broadcast(dim), "tile_key")
+        .groupBy("zone")
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.count_distinct("tile_key").alias("n_tiles"),
+        )
+        .orderBy("zone")
+    )
+
+
 def q_ann_topk(spark, sf_dir):
     emb = _read(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 5).select(
@@ -775,6 +904,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_tokens": q_text_tokens,
         "text_fingerprint": q_text_fingerprint,
+        "text_extract": q_text_extract,
+        "geo_tile_join": q_geo_tile_join,
         "ann_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "multimodal_meta": q_multimodal_meta,
@@ -935,6 +1066,8 @@ def oracle_sql() -> dict[str, str]:
                   FROM documents)
             GROUP BY lang ORDER BY lang
         """,
+        "text_extract": _duck_text_extract_sql(),
+        "geo_tile_join": _duck_tile_join_sql(),
         "ann_topk": _duck_cosine_topk_sql() + " ORDER BY query_id, rank",
         "geo_pip_hierarchy": f"""
             SELECT {ORACLE_OBEC} AS obec_kod, count(*) AS n_pages

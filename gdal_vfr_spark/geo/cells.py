@@ -208,6 +208,17 @@ def cell_expr(lon, lat, res: int):
     return F.when(bad, F.lit(-1)).otherwise(cell)
 
 
+def cell_from_indices_expr(ix, iy, res: int):
+    """Cell id from integer grid indices (Catalyst) — for building
+    raster-side tile dimensions (J6) without going through lon/lat."""
+    if not 0 <= res <= MAX_RES:
+        raise ValueError(f"res must be in [0, {MAX_RES}]")
+    ix = F.col(ix) if isinstance(ix, str) else ix
+    iy = F.col(iy) if isinstance(iy, str) else iy
+    morton = _part1by1_expr(ix).bitwiseOR(F.shiftleft(_part1by1_expr(iy), 1))
+    return F.shiftleft(morton, _RES_BITS).bitwiseOR(F.lit(res))
+
+
 # ---------------------------------------------------------------- Spark UDFs
 
 

@@ -561,6 +561,66 @@ def q_geo_tile_counts(spark, sf_dir):
     )
 
 
+def q_a3_change_tally(spark, sf_dir):
+    """A3 — added/updated/deleted per layer after a change pass
+    (vfrogr.py:617-627), via operators.counts.change_tally."""
+    from gdal_vfr_spark.operators import counts as counts_ops
+
+    o = _read(spark, sf_dir, "orders")
+    changes = o.select(
+        F.col("o_orderstatus").alias("layer"),
+        F.element_at(
+            F.array(F.lit("add"), F.lit("update"), F.lit("delete")),
+            (F.col("o_orderkey") % 3 + 1).cast("int"),
+        ).alias("action"),
+    )
+    return counts_ops.change_tally(changes).orderBy("layer", "action")
+
+
+def q_p1_layer_select(spark, sf_dir):
+    """P1 — `--layer a,b` restriction as a partition-prunable isin
+    predicate (parse.py:69-72, vfrogr.py:464-466)."""
+    from gdal_vfr_spark.operators import projections
+
+    e = _read(spark, sf_dir, "events").withColumnRenamed("event_type", "layer")
+    return (
+        projections.select_layers(e, ["click", "view"])
+        .groupBy("layer")
+        .agg(F.count("*").alias("n"))
+        .orderBy("layer")
+    )
+
+
+def q_p5_list_downgrade(spark, sf_dir):
+    """P5 — Shapefile-style list->string downgrade (vfrogr.py:723-729):
+    array columns become joined strings on export."""
+    from gdal_vfr_spark.operators import projections
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.slice(F.split(F.lower("text"), "[^a-z0-9]+"), 1, 3).alias("head_tokens")
+    )
+    return projections.stringify_lists_for_export(docs).orderBy("doc_id")
+
+
+def q_f7_regex_extract(spark, sf_dir):
+    """F7 — 8-digit date extraction from VFR-style file names
+    (vfrogr.py:336), on synthesized batch names."""
+    e = _read(spark, sf_dir, "events")
+    fname = F.concat(
+        F.lit("OB_"),
+        (F.col("event_id") % 997).cast("string"),
+        F.lit("_UKSH_2024"),
+        F.lpad(((F.col("event_id") % 12) + 1).cast("string"), 2, "0"),
+        F.lit("15.xml.gz"),
+    )
+    return (
+        e.select(F.regexp_extract(fname, r"(\d{8})", 1).alias("batch_date"))
+        .groupBy("batch_date")
+        .agg(F.count("*").alias("n"))
+        .orderBy("batch_date")
+    )
+
+
 # ------------------------------ dedup/text --------------------------------
 
 
@@ -906,6 +966,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "text_extract": q_text_extract,
         "geo_tile_join": q_geo_tile_join,
+        "a3_change_tally": q_a3_change_tally,
+        "p1_layer_select": q_p1_layer_select,
+        "p5_list_downgrade": q_p5_list_downgrade,
+        "f7_regex_extract": q_f7_regex_extract,
         "ann_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "multimodal_meta": q_multimodal_meta,
@@ -1068,6 +1132,29 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_extract": _duck_text_extract_sql(),
         "geo_tile_join": _duck_tile_join_sql(),
+        "a3_change_tally": """
+            SELECT o_orderstatus AS layer,
+                   (['add', 'update', 'delete'])[CAST(o_orderkey % 3 + 1 AS BIGINT)] AS action,
+                   count(*) AS n
+            FROM orders GROUP BY 1, 2 ORDER BY layer, action
+        """,
+        "p1_layer_select": """
+            SELECT event_type AS layer, count(*) AS n FROM events
+            WHERE event_type IN ('click', 'view') GROUP BY 1 ORDER BY layer
+        """,
+        "p5_list_downgrade": """
+            SELECT doc_id,
+                   array_to_string((regexp_split_to_array(lower(text), '[^a-z0-9]+'))[1:3], ',')
+                     AS head_tokens
+            FROM documents ORDER BY doc_id
+        """,
+        "f7_regex_extract": """
+            SELECT regexp_extract('OB_' || CAST(event_id % 997 AS VARCHAR) || '_UKSH_2024'
+                     || lpad(CAST(event_id % 12 + 1 AS VARCHAR), 2, '0') || '15.xml.gz',
+                     '(\\d{8})', 1) AS batch_date,
+                   count(*) AS n
+            FROM events GROUP BY 1 ORDER BY batch_date
+        """,
         "ann_topk": _duck_cosine_topk_sql() + " ORDER BY query_id, rank",
         "geo_pip_hierarchy": f"""
             SELECT {ORACLE_OBEC} AS obec_kod, count(*) AS n_pages

@@ -903,9 +903,11 @@ def q_asof_join(spark, sf_dir):
     """As-of join (engine extra; absent in reference §2.11): each event
     aligned to the user's most recent order on/before the event time.
     Right side deduped to one order per (custkey, date) for determinism;
-    oracle = DuckDB native ASOF JOIN."""
+    oracle = DuckDB native ASOF JOIN. Uses the window formulation (one
+    shuffle, no Python boundary); parity with the cogrouped-pandas
+    variant is asserted in tests/test_asof.py."""
     _ensure_shipped(spark)
-    from gdal_vfr_spark.operators.asof import asof_join
+    from gdal_vfr_spark.operators.asof import asof_join_window as asof_join
 
     e = (
         _read(spark, sf_dir, "events")

@@ -15,7 +15,8 @@ pathological single key, pre-salt by time bucket.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
 
 
 def asof_join(
@@ -65,4 +66,56 @@ def asof_join(
         lsel.groupBy(by)
         .cogroup(rsel.groupBy(by))
         .applyInPandas(merge, schema=schema)
+    )
+
+
+def asof_join_window(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str,
+    right_cols: list[str] | None = None,
+) -> DataFrame:
+    """As-of (backward) join with NO Python boundary — the scale path.
+
+    Union both sides (right rows carry their payload, left rows carry
+    nulls), one window sort per key, and `last(ignorenulls)` forwards
+    each right payload to every later left row. Same result as
+    asof_join(direction='backward') when the right side is unique per
+    (by, on) and its payload columns are non-null (a null payload value
+    would be skipped by ignorenulls — enforce upstream).
+
+    Scale shape: ONE shuffle (the window's hash partition on `by`),
+    everything inside whole-stage codegen; vs the cogroup variant's two
+    shuffles plus per-group Arrow round-trips — at millions of small
+    groups the per-group overhead dominates, this form doesn't pay it.
+    Ties (left.on == right.on) match, like merge_asof backward: right
+    rows sort before left rows at equal timestamps.
+    """
+    rcols = right_cols or [c for c in right.columns if c not in (on, by)]
+    lcols = [c for c in left.columns]
+    l2 = left.select(
+        F.col(by),
+        F.col(on),
+        F.lit(1).alias("__is_left"),
+        *[F.col(c) for c in lcols if c not in (by, on)],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in rcols],
+    )
+    r2 = right.where(F.col(on).isNotNull()).select(
+        F.col(by),
+        F.col(on),
+        F.lit(0).alias("__is_left"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in (by, on)],
+        *[F.col(c) for c in rcols],
+    )
+    w = (
+        Window.partitionBy(by)
+        .orderBy(F.col(on).asc(), F.col("__is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = l2.unionByName(r2).select(
+        "*", *[F.last(c, ignorenulls=True).over(w).alias(f"__f_{c}") for c in rcols]
+    )
+    return filled.where(F.col("__is_left") == 1).select(
+        *lcols, *[F.col(f"__f_{c}").alias(c) for c in rcols]
     )

@@ -621,6 +621,50 @@ def q_f7_regex_extract(spark, sf_dir):
     )
 
 
+def q_stream_change_merge(spark, sf_dir):
+    """§2.10 — M3 worn as Structured Streaming: Trigger.AvailableNow
+    over a change-file directory, one MERGE per file (foreachBatch),
+    maxFilesPerTrigger=1 preserving the reference's per-file apply
+    order (vfrogr.py:934-1025). Two change batches: batch 2 overrides
+    batch 1 per key (last writer wins) — final per-status counts have
+    an exact SQL twin."""
+    _ensure_shipped(spark)
+    import glob
+    import shutil
+    import tempfile
+
+    from gdal_vfr_spark.streaming.incremental import change_stream_merge
+
+    o = _read(spark, sf_dir, "orders")
+    c1 = o.where(F.col("o_orderkey") % 7 == 0).select(
+        F.col("o_orderkey").alias("gml_id"), F.col("o_orderstatus").alias("status")
+    )
+    c2 = o.where(F.col("o_orderkey") % 5 == 0).select(
+        F.col("o_orderkey").alias("gml_id"), F.lit("X2").alias("status")
+    )
+    tmp = tempfile.mkdtemp(prefix="gvs_stream_")
+    chg = os.path.join(tmp, "changes")
+    os.makedirs(chg)
+    for i, batch in enumerate((c1, c2), start=1):
+        stage = os.path.join(tmp, f"stage{i}")
+        batch.coalesce(1).write.parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        # name + mtime both increase with batch number, so the file
+        # source's order matches the reference's apply order
+        shutil.move(part, os.path.join(chg, f"{i:04d}.parquet"))
+    table = change_stream_merge(
+        spark,
+        chg,
+        schema=c1.schema,
+        target_path=os.path.join(tmp, "target"),
+        checkpoint_dir=os.path.join(tmp, "ckpt"),
+        key="gml_id",
+    )
+    return (
+        table.read().groupBy("status").agg(F.count("*").alias("n")).orderBy("status")
+    )
+
+
 # ------------------------------ dedup/text --------------------------------
 
 
@@ -969,6 +1013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_extract": q_text_extract,
         "geo_tile_join": q_geo_tile_join,
         "a3_change_tally": q_a3_change_tally,
+        "stream_change_merge": q_stream_change_merge,
         "p1_layer_select": q_p1_layer_select,
         "p5_list_downgrade": q_p5_list_downgrade,
         "f7_regex_extract": q_f7_regex_extract,
@@ -1134,6 +1179,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_extract": _duck_text_extract_sql(),
         "geo_tile_join": _duck_tile_join_sql(),
+        "stream_change_merge": """
+            WITH c1 AS (SELECT o_orderkey AS gml_id, o_orderstatus AS status
+                        FROM orders WHERE o_orderkey % 7 = 0),
+                 c2 AS (SELECT o_orderkey AS gml_id, 'X2' AS status
+                        FROM orders WHERE o_orderkey % 5 = 0),
+                 final AS (SELECT * FROM c2
+                           UNION ALL
+                           SELECT * FROM c1
+                           WHERE gml_id NOT IN (SELECT gml_id FROM c2))
+            SELECT status, count(*) AS n FROM final GROUP BY status ORDER BY status
+        """,
         "a3_change_tally": """
             SELECT o_orderstatus AS layer,
                    (['add', 'update', 'delete'])[CAST(o_orderkey % 3 + 1 AS BIGINT)] AS action,

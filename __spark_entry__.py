@@ -810,6 +810,18 @@ def q_geo_tile_join(spark, sf_dir):
     )
 
 
+def q_embedding_near_dup_exact(spark, sf_dir):
+    """Exact embedding-cosine near-dup (training-data dedup): all
+    (a < b) pairs with cosine >= 0.4, sequential-fold float64 dot so
+    threshold membership is bit-identical cross-engine."""
+    emb = _read(spark, sf_dir, "embeddings")
+    return (
+        similarity.near_dup_pairs_exact(emb, threshold=0.4)
+        .select("id_a", "id_b")
+        .orderBy("id_a", "id_b")
+    )
+
+
 def q_ann_topk(spark, sf_dir):
     emb = _read(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 5).select(
@@ -1018,6 +1030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p5_list_downgrade": q_p5_list_downgrade,
         "f7_regex_extract": q_f7_regex_extract,
         "ann_topk": q_ann_topk,
+        "embedding_near_dup_exact": q_embedding_near_dup_exact,
         "ann_lsh_topk": q_ann_lsh_topk,
         "multimodal_meta": q_multimodal_meta,
         "embedding_near_dup": q_embedding_near_dup,
@@ -1214,6 +1227,19 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1 ORDER BY batch_date
         """,
         "ann_topk": _duck_cosine_topk_sql() + " ORDER BY query_id, rank",
+        "embedding_near_dup_exact": """
+            WITH scored AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                (list_reduce(list_prepend(0.0, list_transform(list_zip(a.embedding, b.embedding),
+                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (x, y) -> x + y))
+                / (sqrt(list_reduce(list_prepend(0.0, list_transform(a.embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (x, y) -> x + y))
+                   * sqrt(list_reduce(list_prepend(0.0, list_transform(b.embedding,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (x, y) -> x + y))) AS cosine
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            )
+            SELECT id_a, id_b FROM scored WHERE cosine >= 0.4 ORDER BY id_a, id_b
+        """,
         "geo_pip_hierarchy": f"""
             SELECT {ORACLE_OBEC} AS obec_kod, count(*) AS n_pages
             FROM ({geo}) WHERE lon IS NOT NULL

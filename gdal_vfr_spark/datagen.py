@@ -91,7 +91,17 @@ def gen_webpages_pdf(n: int = 10_000, seed: int = 42, null_frac: float = 0.05,
         {
             "url": np.char.add("https://example.cz/p/", i.astype(str)),
             "warc_ts": BASE_TS + i * np.timedelta64(7, "s"),
-            "html": [b"<html><body>" + t.encode() + b"</body></html>" for t in text],
+            # realistic page chrome: style/script elements (dropped with
+            # contents by extraction) + entity-escaped body text, so
+            # extract_text_expr(html) == text holds BY CONSTRUCTION and
+            # the per-url invariant test exercises the full pipeline
+            "html": [
+                b"<html><head><title></title><style>body{margin:0}</style></head>"
+                b"<body><script>var a=1<2&&3>2;</script><p>"
+                + t.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;").encode()
+                + b"</p></body></html>"
+                for t in text
+            ],
             "text": text,
             "lang": lang,
             "lon": lon_o,

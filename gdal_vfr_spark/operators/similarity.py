@@ -68,6 +68,40 @@ def brute_force_topk(
     )
 
 
+def near_dup_pairs_exact(
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding-cosine near-dup: every (a < b) pair with cosine
+    >= threshold. Broadcast self cross-join — the small-corpus path and
+    the verification stage behind cosine_near_dup_pairs' LSH
+    pre-filter; at 100 TB run it only on bucket-cojoined candidates."""
+    # norms precomputed once per row BEFORE the join (bit-identical to
+    # per-pair recomputation, 3x less interpreted fold work per pair)
+    a = corpus.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        norm_expr(F.col(vec_col)).alias("na"),
+    )
+    b = corpus.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        norm_expr(F.col(vec_col)).alias("nb"),
+    )
+    return (
+        a.crossJoin(F.broadcast(b))
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (dot_expr(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cosine"),
+        )
+        .where(F.col("cosine") >= F.lit(float(threshold)))
+    )
+
+
 def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Seeded Gaussian hyperplanes (public SRP-LSH construction)."""
     rng = np.random.default_rng(seed)

@@ -217,8 +217,13 @@ def _duck_minhash_sql(num_hashes: int = 16, bands: int = 8, shingle_n: int = 5) 
         f"list_distinct(list_transform(range(1, greatest(length(text) - {shingle_n - 1}, 1) + 1),"
         f" i -> substr(text, i, {shingle_n})))"
     )
+    # Kirsch-Mitzenmacher double hashing over the two md5 halves — the
+    # exact twin of functions.text_expr.minhash_signature_expr
+    p = 2147483647
+    a = f"(('0x' || substr(md5(s), 17, 16))::UBIGINT % {p})"
+    b = f"(('0x' || substr(md5(s), 1, 16))::UBIGINT % {p})"
     sigs = ", ".join(
-        f"list_min(list_transform(__sh, s -> md5(concat('{i}:', s)))) AS s{i}"
+        f"list_min(list_transform(__sh, s -> CAST(({a} + {i}::UBIGINT * {b}) % {p} AS BIGINT))) AS s{i}"
         for i in range(num_hashes)
     )
     band_keys = ", ".join(
@@ -698,16 +703,16 @@ def q_dedup_simhash(spark, sf_dir):
 
 def q_text_lang(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
-    return docs.select("doc_id", text_ops.lang_id_expr("text").alias("lang_pred")).orderBy(
-        "doc_id"
+    return (
+        text_ops.with_lang_id(docs)
+        .select("doc_id", "lang_pred")
+        .orderBy("doc_id")
     )
 
 
 def q_text_quality(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", text_ops.quality_score_expr("text").alias("quality")
-    ).orderBy("doc_id")
+    return text_ops.with_quality(docs).select("doc_id", "quality").orderBy("doc_id")
 
 
 def q_text_tokens(spark, sf_dir):

@@ -2,10 +2,10 @@
 DuckDB oracles.
 
 Design constraint: every function must have a DuckDB-SQL twin producing
-byte-identical results, so hashing is md5-hex (both engines agree) and
-"min-hash" minimizes the *hex string* lexicographically — an
-order-preserving transform of any uniform hash, so LSH/Jaccard
-properties are unchanged while staying engine-portable.
+byte-identical results, so all hashing derives from md5 (both engines
+agree bit-for-bit). MinHash uses Kirsch-Mitzenmacher double hashing
+over the two md5 halves — one digest per shingle yields the whole
+k-hash family, engine-portable via exact integer arithmetic mod 2^31-1.
 """
 
 from __future__ import annotations
@@ -31,31 +31,63 @@ def shingles_expr(text: str | Column, n: int = 5) -> Column:
     return F.array_distinct(F.transform(idx, lambda i: F.substring(t, i, n)))
 
 
-def minhash_signature_expr(shingles: Column, num_hashes: int = 16) -> Column:
-    """MinHash signature as an array of num_hashes md5-hex minima.
+MINHASH_P = 2147483647  # 2^31 - 1; keeps a + i*b < 2^36 (no overflow anywhere)
 
-    Hash family h_i(s) = md5(i || ':' || s); signature[i] =
-    lexicographic min over shingles. Hex-string min is equivalent to
-    numeric min of the 128-bit value — portable across engines.
-    DuckDB twin: [list_min(list_transform(sh, s -> md5(i||':'||s))) for i in range(k)].
+
+def _md5_half_expr(s, lo_half: bool) -> Column:
+    """Big-endian uint64 of one md5-digest half, reduced mod MINHASH_P.
+    lo_half=True -> digest bytes [8:16) (hex chars 17..32); False ->
+    bytes [0:8). conv() yields the unsigned decimal string exactly;
+    decimal(20,0) holds all 2^64 values."""
+    start = 17 if lo_half else 1
+    return F.conv(F.substring(F.md5(s), start, 16), 16, 10).cast("decimal(20,0)") % F.lit(
+        MINHASH_P
+    )
+
+
+def minhash_signature_expr(shingles: Column, num_hashes: int = 16) -> Column:
+    """MinHash signature: array of num_hashes int64 minima.
+
+    Hash family via Kirsch-Mitzenmacher double hashing (public
+    technique): ONE md5 per shingle split into two halves (a, b), then
+    h_i(s) = (a + i*b) mod P. Same LSH/Jaccard guarantees as k
+    independent hashes at 1/k the hashing cost — the property that
+    makes the Arrow fast path (operators/dedup.with_minhash) hold up at
+    10^12 documents.
+    DuckDB twin: ('0x'||substr(md5(s),17,16))::UBIGINT % P etc.
+    (this expression form is the parity/oracle twin, not the hot path).
     """
-    sigs = [
-        F.array_min(F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{i}:"), s))))
-        for i in range(num_hashes)
-    ]
-    return F.array(*sigs)
+
+    def h(i: int) -> Column:
+        def per_shingle(s):
+            a = _md5_half_expr(s, True)
+            b = _md5_half_expr(s, False)
+            return ((a + F.lit(i) * b) % F.lit(MINHASH_P)).cast("long")
+
+        return F.array_min(F.transform(shingles, per_shingle))
+
+    return F.array(*[h(i) for i in range(num_hashes)])
 
 
 def band_keys_expr(signature: Column, bands: int, rows: int) -> Column:
     """LSH banding: split the signature into `bands` groups of `rows`
     values; band key = band index || md5(joined slice). Two docs
     sharing any band key are near-dup candidates.
-    DuckDB twin: md5 over array_to_string(sig[lo:hi]).
+    DuckDB twin: md5 over concat_ws of the slice (BIGINTs render
+    identically as decimal strings in both engines).
     """
     keys = [
         F.concat(
             F.lit(f"{b}:"),
-            F.md5(F.concat_ws("|", *[F.element_at(signature, b * rows + r + 1) for r in range(rows)])),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.element_at(signature, b * rows + r + 1).cast("string")
+                        for r in range(rows)
+                    ],
+                )
+            ),
         )
         for b in range(bands)
     ]

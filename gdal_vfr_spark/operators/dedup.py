@@ -54,30 +54,39 @@ def with_minhash(
     out_col: str = "minhash",
     use_expr: bool = False,
 ) -> DataFrame:
-    """MinHash signature column. Default path is the Arrow pandas UDF
-    (hashlib md5, C speed); use_expr=True selects the pure-Catalyst
-    expression — same md5(i:shingle) spec, bit-identical output, but
-    Spark's higher-order functions are interpreted (not codegen'd) so
-    it is ~5-10x slower. Tests pin both paths equal."""
+    """MinHash signature column (array<long>). Default path is the
+    Arrow pandas UDF: ONE hashlib md5 per distinct shingle, split into
+    two big-endian halves (a, b) mod P=2^31-1, then the whole k-hash
+    family h_i = (a + i*b) mod P in one numpy matrix op
+    (Kirsch-Mitzenmacher double hashing — k-fold less hashing than a
+    per-(i, shingle) md5, which is what holds at 10^12 docs).
+    use_expr=True selects the pure-Catalyst expression twin —
+    bit-identical output (tests pin both paths equal), used for
+    oracle parity, ~5-10x slower (higher-order fns are interpreted)."""
     if use_expr:
         return df.withColumn(
             out_col, minhash_signature_expr(shingles_expr(text_col, shingle_n), num_hashes)
         )
 
-    prefixes = [f"{i}:".encode() for i in range(num_hashes)]
+    P = 2147483647
 
-    @F.pandas_udf(ArrayType(StringType()))
+    @F.pandas_udf(ArrayType(LongType()))
     def _sig(texts: pd.Series) -> pd.Series:
         out = []
         md5 = hashlib.md5
+        idx = np.arange(num_hashes, dtype=np.uint64)
+        pnp = np.uint64(P)
         for t in texts:
             t = t or ""
             upper = max(len(t) - shingle_n + 1, 1)
             shingles = {t[i : i + shingle_n] for i in range(upper)}
-            enc = [s.encode() for s in shingles]
-            out.append(
-                [min(md5(p + e).hexdigest() for e in enc) if enc else None for p in prefixes]
-            )
+            ab = np.empty((len(shingles), 2), dtype=np.uint64)
+            for j, s in enumerate(shingles):
+                d = md5(s.encode()).digest()
+                ab[j, 0] = int.from_bytes(d[8:16], "big") % P
+                ab[j, 1] = int.from_bytes(d[:8], "big") % P
+            sig = ((ab[:, 0:1] + idx[None, :] * ab[:, 1:2]) % pnp).min(axis=0)
+            out.append(sig.astype(np.int64).tolist())
         return pd.Series(out)
 
     return df.withColumn(out_col, _sig(F.col(text_col)))

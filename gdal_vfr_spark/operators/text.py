@@ -75,6 +75,57 @@ def fingerprint_expr(text) -> F.Column:
     return F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " "))
 
 
+def with_lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
+    """lang_id as chained projections — THE hot path for 10^12 rows.
+
+    The single-expression form (lang_id_expr) duplicates the tokenizer
+    subtree into every stopword score and every tie-break comparison
+    (20+ re-tokenizations per row once Catalyst inlines the CASE).
+    Chaining withColumns materializes the token array and each score
+    exactly once per row: CollapseProject will not inline a non-cheap
+    attribute referenced more than once (same trick as
+    geo.cells.with_cell). Output is identical to lang_id_expr by test.
+    """
+    langs = sorted(STOPWORDS)
+    out = df.withColumn("__toks", tokens_expr(text_col))
+    for lang in langs:
+        stop = F.array(*[F.lit(s) for s in STOPWORDS[lang]])
+        out = out.withColumn(
+            f"__s_{lang}", F.size(F.filter(F.col("__toks"), lambda t: F.array_contains(stop, t)))
+        )
+    best = F.greatest(*[F.col(f"__s_{lang}") for lang in langs])
+    out = out.withColumn("__best", best)
+    pred = F.lit("und")
+    for lang in reversed(langs):  # earlier langs win ties -> apply last
+        pred = F.when(
+            (F.col(f"__s_{lang}") == F.col("__best")) & (F.col("__best") > 0), F.lit(lang)
+        ).otherwise(pred)
+    return out.withColumn(out_col, pred).drop("__toks", "__best", *[f"__s_{lang}" for lang in langs])
+
+
+def with_quality(df: DataFrame, text_col: str = "text", out_col: str = "quality") -> DataFrame:
+    """quality_score as chained projections (tokens materialized once);
+    identical output to quality_score_expr by test."""
+    t = F.col(text_col)
+    out = df.withColumn("__toks", tokens_expr(text_col)).withColumn(
+        "__n", F.size(F.col("__toks")).cast("double")
+    )
+    all_stop = F.array(*[F.lit(s) for langset in sorted(STOPWORDS) for s in STOPWORDS[langset]])
+    length_score = F.least(F.col("__n") / F.lit(100.0), F.lit(1.0))
+    stop_ratio = F.when(
+        F.col("__n") > 0,
+        F.size(F.filter(F.col("__toks"), lambda x: F.array_contains(all_stop, x))).cast("double")
+        / F.col("__n"),
+    ).otherwise(F.lit(0.0))
+    alpha = F.length(F.regexp_replace(F.lower(t), "[^a-z]", "")).cast("double")
+    total = F.length(t).cast("double")
+    alpha_ratio = F.when(total > 0, alpha / total).otherwise(F.lit(0.0))
+    score = F.round(
+        F.lit(0.4) * length_score + F.lit(0.3) * stop_ratio + F.lit(0.3) * alpha_ratio, 6
+    )
+    return out.withColumn(out_col, score).drop("__toks", "__n")
+
+
 def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach all four analysis columns in one projection (single pass)."""
     return df.select(

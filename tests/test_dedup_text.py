@@ -162,3 +162,19 @@ def test_simhash_fast_equals_expr(spark, docs):
         assert {r["doc_id"]: r["simhash"] for r in fast} == {
             r["doc_id"]: r["simhash"] for r in slow
         }, bits
+
+
+def test_with_lang_id_matches_expr(spark, docs):
+    a = docs.select("doc_id", text.lang_id_expr("text").alias("lang_pred"))
+    b = text.with_lang_id(docs).select("doc_id", "lang_pred")
+    assert {r["doc_id"]: r["lang_pred"] for r in a.collect()} == {
+        r["doc_id"]: r["lang_pred"] for r in b.collect()
+    }
+
+
+def test_with_quality_matches_expr(spark, docs):
+    a = docs.select("doc_id", text.quality_score_expr("text").alias("quality"))
+    b = text.with_quality(docs).select("doc_id", "quality")
+    assert {r["doc_id"]: r["quality"] for r in a.collect()} == {
+        r["doc_id"]: r["quality"] for r in b.collect()
+    }

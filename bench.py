@@ -98,11 +98,12 @@ def run_spatial_worker(cpus: int, path: str) -> None:
     n_geo = spark.read.parquet(path).where("lon is not null").count()
     joiner = make_joiner(spark)
     # full warmup run (JIT, codegen, python worker pool), then best of
-    # three measured runs (this host is shared; min controls for
-    # background load spikes)
+    # four measured runs (this host is shared; min controls for
+    # background load spikes — the efficiency ratio needs one quiet
+    # window per level)
     _materialize(spatial_pipeline(spark, path, joiner))
     times = []
-    for _ in range(3):
+    for _ in range(4):
         t0 = time.time()
         _materialize(spatial_pipeline(spark, path, joiner))
         times.append(time.time() - t0)

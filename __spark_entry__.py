@@ -138,32 +138,75 @@ def _duck_tile_join_sql() -> str:
     """
 
 
-def _duck_text_extract_sql() -> str:
-    """Oracle for q_text_extract: same page synthesis and the same
-    5-step extraction pipeline (html_text module docstring) in RE2."""
+def _duck_page_synthesis() -> tuple[str, str]:
+    """(html_expr, want_expr) for the synthesized page over `text` —
+    shared by the text_extract and pipeline_e2e oracles."""
     esc = "coalesce(text, '')"
     for ch, ent in (("&", "&amp;"), ("<", "&lt;"), (">", "&gt;"),
                     ('"', "&quot;"), ("''", "&#39;")):
         esc = f"replace({esc}, '{ch}', '{ent}')"
-    dec = f"""regexp_replace(regexp_replace(html,
+    html = f"'{_PAGE_HEAD}' || {esc} || '{_PAGE_TAIL.replace(chr(39), chr(39) * 2)}'"
+    want = (
+        f"trim(regexp_replace('T ' || coalesce(text, '') || ' & <mix>',"
+        f" '{html_text.WS_RE}', ' ', 'g'))"
+    )
+    return html, want
+
+
+def _duck_extract_expr(col: str = "html") -> str:
+    """The 5-step extraction pipeline (html_text module docstring) in RE2."""
+    dec = f"""regexp_replace(regexp_replace({col},
         '{html_text.BLOCK_RE}', ' ', 'g'), '{html_text.TAG_RE}', ' ', 'g')"""
     for ent, ch in html_text.ENTITIES:
         ch = ch.replace("'", "''")
         dec = f"replace({dec}, '{ent}', '{ch}')"
-    dec = f"trim(regexp_replace({dec}, '{html_text.WS_RE}', ' ', 'g'))"
+    return f"trim(regexp_replace({dec}, '{html_text.WS_RE}', ' ', 'g'))"
+
+
+def _duck_text_extract_sql() -> str:
+    """Oracle for q_text_extract: same page synthesis and extraction."""
+    html, want = _duck_page_synthesis()
     return f"""
     WITH pages AS (
-      SELECT lang,
-             '{_PAGE_HEAD}' || {esc} || '{_PAGE_TAIL.replace("'", "''")}' AS html,
-             trim(regexp_replace('T ' || coalesce(text, '') || ' & <mix>',
-                                 '{html_text.WS_RE}', ' ', 'g')) AS want
-      FROM documents
+      SELECT lang, {html} AS html, {want} AS want FROM documents
     ), ext AS (
-      SELECT lang, want, {dec} AS t FROM pages
+      SELECT lang, want, {_duck_extract_expr()} AS t FROM pages
     )
     SELECT lang, count(*) AS n_docs,
            CAST(sum(CASE WHEN t = want THEN 1 ELSE 0 END) AS BIGINT) AS n_match
     FROM ext GROUP BY lang ORDER BY lang
+    """
+
+
+def _duck_pipeline_sql(quality_min: float = 0.45) -> str:
+    """Oracle for q_pipeline_e2e: the full training-data pipeline —
+    synthesize page -> extract -> byte-identity gate -> quality filter
+    -> lang ID -> exact dedup (min doc_id per content hash) -> geotag
+    -> containment (floor-arithmetic ground truth) -> per-(obec, lang)
+    counts."""
+    html, want = _duck_page_synthesis()
+    toks = _duck_tokens("text")
+    return f"""
+    WITH pages AS (
+      SELECT doc_id, text, {html} AS html, {want} AS want FROM documents
+    ), inv AS (
+      SELECT doc_id, text
+      FROM (SELECT doc_id, text, {_duck_extract_expr()} AS t, want FROM pages)
+      WHERE t = want
+    ), scored AS (
+      SELECT doc_id, text, {_duck_quality_expr()} AS quality, {_duck_lang_case()} AS lang_pred
+      FROM (SELECT doc_id, text, {toks} AS __toks FROM inv)
+    ), kept AS (
+      SELECT doc_id, lang_pred FROM scored WHERE quality >= {quality_min}
+      QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+    ), geo AS (
+      SELECT doc_id, lang_pred,
+             14.0 + (2 * ((doc_id * 7919) % 500) + 1) / 1000.0 AS lon,
+             49.5 + (2 * ((doc_id * 104729) % 500) + 1) / 1000.0 AS lat
+      FROM kept
+    )
+    SELECT {ORACLE_OBEC} AS obec_kod, lang_pred, count(*) AS n_docs
+    FROM geo GROUP BY 1, 2 ORDER BY obec_kod, lang_pred
     """
 
 
@@ -179,8 +222,8 @@ def _duck_stoplist(lang: str) -> str:
     return "[" + ", ".join(f"'{w}'" for w in text_ops.STOPWORDS[lang]) + "]"
 
 
-def _duck_lang_sql() -> str:
-    toks = _duck_tokens("text")
+def _duck_lang_case() -> str:
+    """lang-ID CASE expression over a column named __toks."""
     scores = {
         lang: f"len(list_filter(__toks, t -> list_contains({_duck_stoplist(lang)}, t)))"
         for lang in sorted(text_ops.STOPWORDS)
@@ -190,24 +233,37 @@ def _duck_lang_sql() -> str:
     for lang in sorted(text_ops.STOPWORDS):
         case += f"WHEN {scores[lang]} = {best} THEN '{lang}' "
     case += "ELSE 'und' END"
-    return f"SELECT doc_id, {case} AS lang_pred FROM (SELECT doc_id, {toks} AS __toks, text FROM documents)"
+    return case
 
 
-def _duck_quality_sql() -> str:
+def _duck_lang_sql(src: str = "documents") -> str:
     toks = _duck_tokens("text")
+    return (
+        f"SELECT doc_id, {_duck_lang_case()} AS lang_pred"
+        f" FROM (SELECT doc_id, {toks} AS __toks, text FROM {src})"
+    )
+
+
+def _duck_quality_expr() -> str:
+    """quality expression over columns __toks and text."""
     all_stop = "[" + ", ".join(
         f"'{w}'" for lang in sorted(text_ops.STOPWORDS) for w in text_ops.STOPWORDS[lang]
     ) + "]"
-    return f"""
-    SELECT doc_id, round(
+    return f"""round(
         0.4 * least(CAST(len(__toks) AS DOUBLE) / 100.0, 1.0)
       + 0.3 * (CASE WHEN len(__toks) > 0
                THEN CAST(len(list_filter(__toks, x -> list_contains({all_stop}, x))) AS DOUBLE)
                     / CAST(len(__toks) AS DOUBLE) ELSE 0.0 END)
       + 0.3 * (CASE WHEN length(text) > 0
                THEN CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
-                    / CAST(length(text) AS DOUBLE) ELSE 0.0 END), 6) AS quality
-    FROM (SELECT doc_id, {toks} AS __toks, text FROM documents)
+                    / CAST(length(text) AS DOUBLE) ELSE 0.0 END), 6)"""
+
+
+def _duck_quality_sql(src: str = "documents") -> str:
+    toks = _duck_tokens("text")
+    return f"""
+    SELECT doc_id, {_duck_quality_expr()} AS quality
+    FROM (SELECT doc_id, {toks} AS __toks, text FROM {src})
     """
 
 
@@ -860,6 +916,62 @@ def q_embedding_near_dup_exact(spark, sf_dir):
     )
 
 
+def q_pipeline_e2e(spark, sf_dir, quality_min: float = 0.45):
+    """The 100 TB use case end-to-end, composed from engine operators:
+    synthesize page chrome -> HTML->text extraction gated on the
+    byte-identity invariant -> quality filter -> language ID -> exact
+    dedup (first doc per content hash) -> geotag -> point-in-polygon
+    containment -> per-(municipality, language) doc counts. Every stage
+    is exact, so the WHOLE pipeline has a value-hash oracle."""
+    _ensure_shipped(spark)
+    docs = _read(spark, sf_dir, "documents")
+    text = F.coalesce(F.col("text"), F.lit(""))
+    html = F.encode(
+        F.concat(F.lit(_PAGE_HEAD), html_text.escape_text_expr(text), F.lit(_PAGE_TAIL)),
+        "utf-8",
+    )
+    want = F.trim(
+        F.regexp_replace(
+            F.concat_ws(" ", F.lit("T"), text, F.lit("& <mix>")), html_text.WS_RE, " "
+        )
+    )
+    inv = (
+        docs.select("doc_id", "text", html_text.extract_text_expr(html).alias("__t"), want.alias("__want"))
+        .where(F.col("__t") == F.col("__want"))
+        .select("doc_id", "text")
+    )
+    scored = text_ops.with_lang_id(text_ops.with_quality(inv))
+    kept = (
+        scored.where(F.col("quality") >= F.lit(quality_min))
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy(F.md5("text")).orderBy("doc_id")
+            ),
+        )
+        .where(F.col("__rn") == 1)
+        .select("doc_id", "lang_pred")
+    )
+    geo = kept.select(
+        "doc_id",
+        "lang_pred",
+        (
+            F.lit(14.0)
+            + (F.lit(2) * ((F.col("doc_id") * 7919) % 500) + 1).cast("double") / F.lit(1000.0)
+        ).alias("lon"),
+        (
+            F.lit(49.5)
+            + (F.lit(2) * ((F.col("doc_id") * 104729) % 500) + 1).cast("double") / F.lit(1000.0)
+        ).alias("lat"),
+    )
+    joined = _obce_joiner(spark).apply(geo)
+    return (
+        joined.groupBy("obec_kod", "lang_pred")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("obec_kod", "lang_pred")
+    )
+
+
 def q_ann_topk(spark, sf_dir):
     emb = _read(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 5).select(
@@ -1061,6 +1173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "text_extract": q_text_extract,
         "geo_tile_join": q_geo_tile_join,
+        "pipeline_e2e": q_pipeline_e2e,
         "a3_change_tally": q_a3_change_tally,
         "stream_change_merge": q_stream_change_merge,
         "p1_layer_select": q_p1_layer_select,
@@ -1229,6 +1342,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_extract": _duck_text_extract_sql(),
         "geo_tile_join": _duck_tile_join_sql(),
+        "pipeline_e2e": _duck_pipeline_sql(),
         "stream_change_merge": """
             WITH c1 AS (SELECT o_orderkey AS gml_id, o_orderstatus AS status
                         FROM orders WHERE o_orderkey % 7 = 0),

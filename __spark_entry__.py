@@ -569,7 +569,7 @@ _JOINER_CACHE: dict = {}
 
 
 def _obce_joiner(spark):
-    key = (id(spark), "obce")
+    key = (spark.sparkContext.applicationId, "obce")
     j = _JOINER_CACHE.get(key)
     if j is None:
         from gdal_vfr_spark.geo.pip import PIPJoiner
@@ -585,7 +585,7 @@ def _obce_joiner(spark):
 
 
 def _ku_joiner(spark):
-    key = (id(spark), "ku")
+    key = (spark.sparkContext.applicationId, "ku")
     j = _JOINER_CACHE.get(key)
     if j is None:
         from gdal_vfr_spark.geo.pip import PIPJoiner

@@ -44,6 +44,10 @@ HEADLINE = [
     "text_lang",
     "text_quality",
     "ann_topk",
+    "text_extract",
+    "geo_tile_join",
+    "asof_join",
+    "pipeline_e2e",
 ]
 
 SPATIAL_N = int(os.environ.get("SPARK_GRAFT_BENCH_N", 40_000_000))

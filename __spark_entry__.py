@@ -759,6 +759,37 @@ def q_stream_change_merge(spark, sf_dir):
     )
 
 
+def q_skew_salted_count(spark, sf_dir):
+    """§4 item 2 — two-phase salted aggregation: partial count per
+    (key, salt) then final sum; identical to a direct groupBy count
+    (the oracle), with the hot key fanned over 8 reducers."""
+    from gdal_vfr_spark.operators.counts import salted_count
+
+    e = _read(spark, sf_dir, "events")
+    return salted_count(e, "event_type", n_salt=8, salt_src="event_id").orderBy("event_type")
+
+
+def q_skew_salted_join(spark, sf_dir):
+    """§4 item 2 — hot-only salted equi-join: key 0 carries ~half the
+    fact rows; its fact rows are salted across 8 reducers and ONLY the
+    hot dim rows replicate (SURVEY.md §7.3). Result identical to the
+    plain join (the oracle)."""
+    from gdal_vfr_spark.plans import skew
+
+    e = _read(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("user_id") % 10 < 5, F.lit(0))
+        .otherwise(F.col("user_id"))
+        .cast("long")
+        .alias("k"),
+    )
+    dim = e.select("k").distinct().withColumn("zone", F.pmod(F.col("k"), F.lit(7)))
+    out = skew.salted_equi_join(
+        e, dim, on="k", n_salt=8, fact_stable_col="event_id", hot_only=[0]
+    )
+    return out.groupBy("zone").agg(F.count("*").alias("n")).orderBy("zone")
+
+
 # ------------------------------ dedup/text --------------------------------
 
 
@@ -1176,6 +1207,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_e2e": q_pipeline_e2e,
         "a3_change_tally": q_a3_change_tally,
         "stream_change_merge": q_stream_change_merge,
+        "skew_salted_count": q_skew_salted_count,
+        "skew_salted_join": q_skew_salted_join,
         "p1_layer_select": q_p1_layer_select,
         "p5_list_downgrade": q_p5_list_downgrade,
         "f7_regex_extract": q_f7_regex_extract,
@@ -1353,6 +1386,18 @@ def oracle_sql() -> dict[str, str]:
                            SELECT * FROM c1
                            WHERE gml_id NOT IN (SELECT gml_id FROM c2))
             SELECT status, count(*) AS n FROM final GROUP BY status ORDER BY status
+        """,
+        "skew_salted_count": """
+            SELECT event_type, count(*) AS n FROM events
+            GROUP BY event_type ORDER BY event_type
+        """,
+        "skew_salted_join": """
+            WITH f AS (
+              SELECT CASE WHEN user_id % 10 < 5 THEN 0 ELSE user_id END AS k
+              FROM events),
+            d AS (SELECT DISTINCT k, k % 7 AS zone FROM f)
+            SELECT zone, count(*) AS n FROM f JOIN d USING (k)
+            GROUP BY zone ORDER BY zone
         """,
         "a3_change_tally": """
             SELECT o_orderstatus AS layer,

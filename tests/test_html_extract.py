@@ -69,3 +69,36 @@ def test_escape_roundtrip(spark):
         ).alias("t")
     ).collect()[0]["t"]
     assert out == raw
+
+
+def test_hypothesis_arrow_expr_parity(spark):
+    """Property test: Java-regex (expr) and Python-re (Arrow) paths are
+    byte-identical on adversarial strings — angle brackets, partial
+    entities, script/style fragments, whitespace runs."""
+    from hypothesis import given, settings, strategies as st
+
+    alphabet = st.sampled_from(
+        list("abzAZ09 \t\n\r<>&;/\"'=!-")
+        + ["<script>", "</script>", "<style", "&amp;", "&lt;", "&#39;", "<p>", "</p>"]
+    )
+    texts = st.lists(alphabet, max_size=30).map("".join)
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.lists(texts, min_size=1, max_size=20))
+    def check(batch):
+        df = spark.createDataFrame(
+            [(i, t.encode("utf-8")) for i, t in enumerate(batch)], "i int, html binary"
+        )
+        expr = {
+            r["i"]: r["t"]
+            for r in df.select("i", html_text.extract_text_expr("html").alias("t")).collect()
+        }
+        arrow = {
+            r["i"]: r["t"]
+            for r in html_text.extract_text_arrow(df, "html", out_col="t")
+            .select("i", "t")
+            .collect()
+        }
+        assert expr == arrow
+
+    check()

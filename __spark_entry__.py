@@ -759,6 +759,40 @@ def q_stream_change_merge(spark, sf_dir):
     )
 
 
+_WSTREAM_SEQ = [0]
+
+
+def q_stream_window_counts(spark, sf_dir):
+    """§2.10 — watermarked tumbling-window aggregation as Structured
+    Streaming: AvailableNow over the events file (file source + glob),
+    2h watermark, 1h tumbling windows. With all data available the
+    watermark drops nothing, so the final complete-mode result equals
+    the batch w_tumbling_hour — an exact oracle for the streaming path."""
+    _ensure_shipped(spark)
+    from gdal_vfr_spark.streaming.incremental import windowed_event_counts
+
+    batch_schema = _read(spark, sf_dir, "events").schema
+    stream = (
+        spark.readStream.schema(batch_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    agg = windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+    _WSTREAM_SEQ[0] += 1
+    name = f"gvs_wstream_{_WSTREAM_SEQ[0]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.col("window_start").alias("hour_ts"), "event_type", "n", "sum_value"
+    ).orderBy("hour_ts", "event_type")
+
+
 def q_skew_salted_count(spark, sf_dir):
     """§4 item 2 — two-phase salted aggregation: partial count per
     (key, salt) then final sum; identical to a direct groupBy count
@@ -1208,6 +1242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a3_change_tally": q_a3_change_tally,
         "stream_change_merge": q_stream_change_merge,
         "skew_salted_count": q_skew_salted_count,
+        "stream_window_counts": q_stream_window_counts,
         "skew_salted_join": q_skew_salted_join,
         "p1_layer_select": q_p1_layer_select,
         "p5_list_downgrade": q_p5_list_downgrade,
@@ -1390,6 +1425,11 @@ def oracle_sql() -> dict[str, str]:
         "skew_salted_count": """
             SELECT event_type, count(*) AS n FROM events
             GROUP BY event_type ORDER BY event_type
+        """,
+        "stream_window_counts": """
+            SELECT date_trunc('hour', ts) AS hour_ts, event_type, count(*) AS n,
+                   CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+            FROM events GROUP BY 1, 2 ORDER BY hour_ts, event_type
         """,
         "skew_salted_join": """
             WITH f AS (

@@ -696,6 +696,27 @@ def q_p5_list_downgrade(spark, sf_dir):
     return projections.stringify_lists_for_export(docs).orderBy("doc_id")
 
 
+def q_p6_align_schema(spark, sf_dir):
+    """P6 — positional field-map projection (SetFromWithMap,
+    vfrogr.py:553,:586): schema alignment by explicit column order."""
+    from gdal_vfr_spark.operators import projections
+
+    e = _read(spark, sf_dir, "events")
+    return projections.align_schema(
+        e.where(F.col("event_id") % 250 == 0), ["event_type", "event_id", "user_id"]
+    ).orderBy("event_id")
+
+
+def q_s4_formats(spark, sf_dir):
+    """S4 — writable-format introspection (utils.py:26-43). Engine
+    formats have no DuckDB referent -> rows-only check."""
+    from gdal_vfr_spark.operators.export import list_formats
+
+    return spark.createDataFrame([(f,) for f in list_formats(spark)], "format string").orderBy(
+        "format"
+    )
+
+
 def q_f7_regex_extract(spark, sf_dir):
     """F7 — 8-digit date extraction from VFR-style file names
     (vfrogr.py:336), on synthesized batch names."""
@@ -1247,6 +1268,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p1_layer_select": q_p1_layer_select,
         "p5_list_downgrade": q_p5_list_downgrade,
         "f7_regex_extract": q_f7_regex_extract,
+        "p6_align_schema": q_p6_align_schema,
+        "s4_formats": q_s4_formats,
         "ann_topk": q_ann_topk,
         "embedding_near_dup_exact": q_embedding_near_dup_exact,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -1454,6 +1477,10 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string((regexp_split_to_array(lower(text), '[^a-z0-9]+'))[1:3], ',')
                      AS head_tokens
             FROM documents ORDER BY doc_id
+        """,
+        "p6_align_schema": """
+            SELECT event_type, event_id, user_id FROM events
+            WHERE event_id % 250 = 0 ORDER BY event_id
         """,
         "f7_regex_extract": """
             SELECT regexp_extract('OB_' || CAST(event_id % 997 AS VARCHAR) || '_UKSH_2024'

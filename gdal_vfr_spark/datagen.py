@@ -376,57 +376,100 @@ def gen_webpages_sql(spark, n: int, null_frac_denom: int = 20, hotspot_denom: in
 # ------------------------------------------------------------- Spark entry
 
 
-def spark_df(spark, pdf: pd.DataFrame, binary_cols: tuple[str, ...] = ()):
-    """createDataFrame with explicit binary handling (pandas 'object'
-    bytes columns infer fine, but None-heavy columns need the hint)."""
+def _schema(*fields):
+    """Explicit StructType builder. Never infer: all-None columns
+    (generalizovane_hranice, plati_do) crash schema inference in any
+    session without Arrow enabled — the FIXTURES.md schemas are fixed,
+    so declare them."""
     from pyspark.sql import types as T
 
-    schema = None
-    if binary_cols:
-        sample = spark.createDataFrame(pdf.head(2))
-        fields = []
-        for f in sample.schema.fields:
-            t = T.BinaryType() if f.name in binary_cols else f.dataType
-            fields.append(T.StructField(f.name, t, True))
-        schema = T.StructType(fields)
+    atom = {
+        "long": T.LongType(),
+        "double": T.DoubleType(),
+        "string": T.StringType(),
+        "boolean": T.BooleanType(),
+        "timestamp": T.TimestampType(),
+        "binary": T.BinaryType(),
+        "array<long>": T.ArrayType(T.LongType()),
+    }
+    return T.StructType([T.StructField(n, atom[t], True) for n, t in fields])
+
+
+def webpages_schema():
+    return _schema(
+        ("url", "string"), ("warc_ts", "timestamp"), ("html", "binary"),
+        ("text", "string"), ("lang", "string"), ("lon", "double"),
+        ("lat", "double"), ("truth_obec_kod", "long"), ("truth_tile_key", "long"),
+    )
+
+
+def _admin_schema(parent_col: str):
+    return _schema(
+        ("kod", "long"), ("nazev", "string"), ("nespravny", "boolean"),
+        (parent_col, "long"), ("plati_od", "timestamp"), ("plati_do", "timestamp"),
+        ("definicni_bod", "binary"), ("originalni_hranice", "binary"),
+        ("generalizovane_hranice", "binary"),
+    )
+
+
+def parcely_schema():
+    return _schema(
+        ("id", "long"), ("katastralni_uzemi_kod", "long"), ("vymera", "long"),
+        ("druh_pozemku_kod", "long"), ("bonitovany_dil_vymera", "array<long>"),
+        ("zpusob_ochrany_kod", "array<long>"),
+        ("definicni_bod", "binary"), ("originalni_hranice", "binary"),
+    )
+
+
+def ulice_schema():
+    return _schema(
+        ("kod", "long"), ("nazev", "string"), ("obec_kod", "long"),
+        ("definicni_cara", "binary"),
+    )
+
+
+def changes_schema():
+    return _schema(
+        ("batch_id", "string"), ("layer", "string"), ("gml_id", "string"),
+        ("kod", "long"), ("nazev", "string"), ("nespravny", "boolean"),
+    )
+
+
+def tombstones_schema():
+    return _schema(
+        ("typ_prvku_kod", "string"), ("prvek_id", "long"), ("id_transakce", "long"),
+    )
+
+
+def spark_df(spark, pdf: pd.DataFrame, schema):
+    """createDataFrame with an explicit schema — works identically with
+    and without Arrow (the driver's oracle harness runs Arrow-off)."""
     return spark.createDataFrame(pdf, schema=schema)
 
 
 def gen_webpages(spark, n: int = 10_000, seed: int = 42, **kw):
-    return spark.createDataFrame(gen_webpages_pdf(n, seed, **kw))
+    return spark_df(spark, gen_webpages_pdf(n, seed, **kw), webpages_schema())
 
 
 def gen_obce(spark, seed: int = 42, densify: int = 1):
-    return spark_df(
-        spark,
-        gen_obce_pdf(seed, densify=densify),
-        binary_cols=("definicni_bod", "originalni_hranice", "generalizovane_hranice"),
-    )
+    return spark_df(spark, gen_obce_pdf(seed, densify=densify), _admin_schema("okres_kod"))
 
 
 def gen_katastralni_uzemi(spark, seed: int = 42):
-    return spark_df(
-        spark,
-        gen_katastralni_uzemi_pdf(seed),
-        binary_cols=("definicni_bod", "originalni_hranice", "generalizovane_hranice"),
-    )
+    return spark_df(spark, gen_katastralni_uzemi_pdf(seed), _admin_schema("obec_kod"))
 
 
 def gen_parcely(spark, seed: int = 42, per_ku: int = 4):
-    return spark_df(
-        spark,
-        gen_parcely_pdf(seed, per_ku),
-        binary_cols=("definicni_bod", "originalni_hranice"),
-    )
+    return spark_df(spark, gen_parcely_pdf(seed, per_ku), parcely_schema())
 
 
 def gen_ulice(spark, seed: int = 42, per_obec: int = 2):
-    return spark_df(spark, gen_ulice_pdf(seed, per_obec), binary_cols=("definicni_cara",))
+    return spark_df(spark, gen_ulice_pdf(seed, per_obec), ulice_schema())
 
 
 def gen_changes(spark, seed: int = 42, **kw):
-    return spark.createDataFrame(gen_changes_pdf(seed, **kw))
+    return spark_df(spark, gen_changes_pdf(seed, **kw), changes_schema())
 
 
 def gen_tombstones(spark, seed: int = 42, **kw):
-    return spark.createDataFrame(gen_tombstones_pdf(seed, **kw))
+    return spark_df(spark, gen_tombstones_pdf(seed, **kw), tombstones_schema())

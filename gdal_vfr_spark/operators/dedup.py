@@ -124,6 +124,14 @@ def minhash_lsh_pairs(
         .select(id_col, "minhash")
         .persist()
     )
+    # materialize EAGERLY: the band self-join's a/b map stages are
+    # independent and run concurrently — on a cold cache each side
+    # recomputes the signature grind for partitions the other hasn't
+    # finished caching (2x the md5 work, contending for every core).
+    # One count() up front means every downstream scan (a-side, b-side,
+    # sa/sb rejoin) is a warm cache read. Re-invocations of the same
+    # plan dedupe through CacheManager, so repeated calls pay once.
+    sig.count()
     exploded = sig.select(
         id_col, "minhash", F.explode(band_keys_expr(F.col("minhash"), bands, rows)).alias("band_key")
     )

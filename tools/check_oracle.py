@@ -44,7 +44,22 @@ def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
-    spark = get_spark("oracle_check", extra_conf={"spark.ui.showConsoleProgress": "false"})
+    if os.environ.get("ORACLE_TUNED"):
+        # the engine's own tuned session (Arrow on, AQE etc.)
+        spark = get_spark("oracle_check", extra_conf={"spark.ui.showConsoleProgress": "false"})
+    else:
+        # default: a BARE session mirroring the driver's oracle harness —
+        # no Arrow, default shuffle partitions. Queries must survive this
+        # (round-1 lesson: Arrow-on masked a schema-inference crash).
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("oracle_check_bare")
+            .config("spark.ui.enabled", "false")
+            .config("spark.ui.showConsoleProgress", "false")
+            .getOrCreate()
+        )
     con = duckdb.connect()
     for t in entrymod.TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")

@@ -6,8 +6,9 @@ Two parts:
 2. The authoritative north-star metric (BASELINE.json): spatial-join +
    tile-assignment throughput (pages/sec) on the synthetic webtext
    table joined to the RUIAN-style obce polygons, run at TWO
-   parallelism levels (local[8] = N, local[32] = 4N) on the SAME
-   parquet input, reporting scaling efficiency = (thr_4N / thr_N) / 4.
+   parallelism levels ($SPARK_GRAFT_BENCH_LEVELS, default "2,8" i.e.
+   local[2] = N and local[8] = 4N) on the SAME parquet input, reporting
+   scaling efficiency = (thr_hi / thr_lo) / (hi / lo).
    Each level runs in a subprocess so JVM/thread-pool state can't leak
    between levels.
 
@@ -130,7 +131,11 @@ def bench_spatial() -> dict:
     lo, hi = (
         int(x) for x in os.environ.get("SPARK_GRAFT_BENCH_LEVELS", "2,8").split(",")
     )
-    for cpus, tag in ((lo, "n8"), (hi, "n32")):
+    # tags are derived from the ACTUAL parallelism levels measured, so
+    # the BENCH JSON is self-describing (round-1 advice: hard-coded
+    # n8/n32 tags mislabeled the default local[2]/local[8] run)
+    out["levels"] = {"lo": lo, "hi": hi}
+    for cpus, tag in ((lo, f"n{lo}"), (hi, f"n{hi}")):
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--spatial-worker", str(cpus), SPATIAL_PATH],
             capture_output=True,
@@ -139,9 +144,9 @@ def bench_spatial() -> dict:
         )
         line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
         out[tag] = json.loads(line)
-    thr8 = out["n8"]["pages_per_sec"]
-    thr32 = out["n32"]["pages_per_sec"]
-    out["scaling_efficiency"] = (thr32 / thr8) / 4.0
+    thr_lo = out[f"n{lo}"]["pages_per_sec"]
+    thr_hi = out[f"n{hi}"]["pages_per_sec"]
+    out["scaling_efficiency"] = (thr_hi / thr_lo) / (hi / lo)
     return out
 
 
@@ -184,11 +189,14 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if spatial:
+        lo, hi = spatial["levels"]["lo"], spatial["levels"]["hi"]
         result["spatial"] = {
-            "input_pages": spatial["n32"]["pages"],
-            "pages_per_sec_n8": round(spatial["n8"]["pages_per_sec"]),
-            "pages_per_sec_n32": round(spatial["n32"]["pages_per_sec"]),
-            "scaling_efficiency_n_to_4n": round(spatial["scaling_efficiency"], 3),
+            "input_pages": spatial[f"n{hi}"]["pages"],
+            "cores_lo": lo,
+            "cores_hi": hi,
+            f"pages_per_sec_n{lo}": round(spatial[f"n{lo}"]["pages_per_sec"]),
+            f"pages_per_sec_n{hi}": round(spatial[f"n{hi}"]["pages_per_sec"]),
+            "scaling_efficiency": round(spatial["scaling_efficiency"], 3),
         }
     print(json.dumps(result))
 

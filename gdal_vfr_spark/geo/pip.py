@@ -214,7 +214,15 @@ class PIPJoiner:
 
         cover_sdf = self._cover_sdf
         bc = self._bc
-        pts = cells.with_cell(points_df, self.res, lon_col, lat_col, out_col="__cell")
+        base = points_df
+        rid = "__pip_rid"
+        if how == "left":
+            # unique row id so the hit rows rejoin 1:1 — joining back on
+            # the full column set multiplies duplicate input rows and is
+            # fragile on float columns. monotonically_increasing_id is
+            # stable for a deterministic scan (partition id + offset).
+            base = points_df.withColumn(rid, F.monotonically_increasing_id())
+        pts = cells.with_cell(base, self.res, lon_col, lat_col, out_col="__cell")
         cand = pts.join(
             F.broadcast(cover_sdf), on=pts["__cell"] == cover_sdf["cell"], how="inner"
         ).drop("cell")
@@ -239,8 +247,8 @@ class PIPJoiner:
         if how == "inner":
             return hits
         if how == "left":
-            keyed = hits.select(*points_df.columns, out_key)
-            return points_df.join(keyed, on=points_df.columns, how="left")
+            keyed = hits.select(rid, out_key)
+            return base.join(keyed, on=rid, how="left").drop(rid)
         raise ValueError(f"unsupported how={how!r}")
 
 

@@ -326,8 +326,11 @@ def dedup_keep_representatives(
     df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:
     """Drop the larger id of every near-dup pair (greedy representative
-    selection — the standard web-pipeline policy). Connected components
-    collapse transitively because every non-minimal member appears as
-    id_b of some pair with a smaller id_a."""
+    selection — the standard web-pipeline policy). NOTE: this is the
+    greedy per-pair rule, not connected components: a star component
+    with pairs (1,5),(3,5) keeps BOTH 1 and 3 (no 1-3 pair exists).
+    For transitive collapse run an iterative min-label propagation over
+    the pair graph instead; web pipelines generally accept the greedy
+    rule because LSH pair generation is itself approximate."""
     victims = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(victims, on=id_col, how="left_anti")

@@ -60,7 +60,11 @@ def salted_equi_join(
     requirement that salting 'replicates only the few polygons covering
     that cell, not the whole broadcast')."""
     if hot_only is not None:
-        is_hot = F.col(on).isin(hot_only)
+        # coalesce: isin() is NULL for null join keys, which would drop
+        # null-key fact rows from BOTH branches — wrong for how='left',
+        # which must keep them (with null dim columns). Null keys never
+        # match in an equi-join, so they belong on the cold branch.
+        is_hot = F.coalesce(F.col(on).isin(hot_only), F.lit(False))
         f_hot = salt_fact_side(fact.where(is_hot), n_salt, fact_stable_col)
         d_hot = explode_dim_side(dim.where(is_hot), n_salt)
         hot_joined = f_hot.join(d_hot, on=[on, "__salt"], how=how).drop("__salt")

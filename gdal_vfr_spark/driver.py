@@ -13,7 +13,9 @@ Each reference pass maps 1:1:
 from __future__ import annotations
 
 import os
+import shutil
 import time
+import uuid
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, functions as F
@@ -54,19 +56,40 @@ def run_batches(
         mode = M.decide_mode(batch_id, append_flag=append or seen_write)
         if layers:
             df = df.where(F.col(layer_col).isin(layers))
-        for layer_row in df.select(layer_col).distinct().collect():
-            layer = layer_row[0]
-            part = df.where(F.col(layer_col) == layer).drop(layer_col)
-            table = M.ParquetTable(spark, os.path.join(warehouse, layer))
-            if mode == M.MODE_CHANGE:
+        if mode == M.MODE_CHANGE:
+            # merges are per-table transactions over the SMALL daily
+            # delta, so a per-layer loop over its distinct layers is the
+            # right granularity (the full state is never rescanned here)
+            for layer_row in df.select(layer_col).distinct().collect():
+                layer = layer_row[0]
+                part = df.where(F.col(layer_col) == layer).drop(layer_col)
+                table = M.ParquetTable(spark, os.path.join(warehouse, layer))
                 tally = table.merge(part, key=key)
                 stats.tallies[(batch_id, layer)] = {
                     r["action"]: r["n"] for r in tally.collect()
                 }
-            elif mode == M.MODE_APPEND:
-                table.append(part)
-            else:
-                table.write(part, overwrite=overwrite)
+        else:
+            # write/append: ONE scan fans every layer out via
+            # partitionBy, then each partition directory is adopted by
+            # rename. Round 1 looped distinct().collect() + a full
+            # re-scan per layer — 18 layers = 18x read amplification at
+            # 100 TB. partitionBy also drops the layer column from the
+            # data files, matching the old .drop(layer_col).
+            staging = os.path.join(warehouse, f"__fanout_{uuid.uuid4().hex[:8]}")
+            df.write.mode("overwrite").partitionBy(layer_col).parquet(staging)
+            try:
+                for part_dir in sorted(os.listdir(staging)):
+                    if not part_dir.startswith(f"{layer_col}="):
+                        continue
+                    layer = part_dir.split("=", 1)[1]
+                    src = os.path.join(staging, part_dir)
+                    table = M.ParquetTable(spark, os.path.join(warehouse, layer))
+                    if mode == M.MODE_APPEND:
+                        table.append_dir(src)
+                    else:
+                        table.adopt_dir(src, overwrite=overwrite)
+            finally:
+                shutil.rmtree(staging, ignore_errors=True)
         if mode == M.MODE_WRITE:
             seen_write = True
         stats.batch_seconds[batch_id] = round(time.time() - t0, 3)

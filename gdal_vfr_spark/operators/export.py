@@ -13,8 +13,9 @@ pre-filter).
 from __future__ import annotations
 
 import os
+import shutil
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Observation, functions as F
 
 from gdal_vfr_spark.operators.projections import stringify_lists_for_export
 
@@ -40,19 +41,31 @@ def export_layers(
     for g in geom_cols:
         name = f"{layer_name}_{g}".lower()
         out = df.select(*other_cols, F.col(g).alias("geometry"))
-        if nogeomskip:
-            n_skip = out.where(F.col("geometry").isNull()).count()
-            out = out.where(F.col("geometry").isNotNull())
-            results[f"{name}__skipped"] = n_skip
         if stringify_lists:
             out = stringify_lists_for_export(out)
-        # S8 empty-layer drop as a pre-check, not a post-delete
-        if out.limit(1).count() == 0:
-            results[name] = 0
-            continue
+        # ONE job per geometry column: total/null tallies ride the write
+        # via observe() metrics (round 1 ran null-count, limit(1).count,
+        # the write, and a post-count — 4 scans). The S8 empty-layer
+        # drop becomes a post-delete of the empty output, which is
+        # literally the reference's fixpoint (pg2ogr.py:229-240) at
+        # zero extra scan cost.
+        obs = Observation()
+        out = out.observe(
+            obs,
+            F.count(F.lit(1)).alias("n_total"),
+            F.count("geometry").alias("n_geom"),
+        )
+        if nogeomskip:
+            out = out.where(F.col("geometry").isNotNull())
         path = os.path.join(out_dir, name)
         getattr(out.write.mode("overwrite"), fmt)(path)
-        results[name] = out.count()
+        n_total, n_geom = obs.get["n_total"], obs.get["n_geom"]
+        written = n_geom if nogeomskip else n_total
+        if nogeomskip:
+            results[f"{name}__skipped"] = n_total - n_geom
+        results[name] = written
+        if written == 0:
+            shutil.rmtree(path, ignore_errors=True)
     return results
 
 

@@ -151,9 +151,59 @@ def assign_fids(df: DataFrame, key: str = "gml_id", fid_col: str = "fid") -> Dat
     reference assigns FIDs by arrival order (vfrogr.py:582,:601-603);
     arrival order doesn't exist in a distributed scan, so FIDs are
     derived from the key order instead (documented deviation,
-    SURVEY.md §7.3: values differ, row content identical)."""
+    SURVEY.md §7.3: values differ, row content identical).
+
+    NOTE: the no-partition window is a single-reducer global sort —
+    fine for test determinism and small dimensions, wrong at 100 TB.
+    Use assign_fids_distributed for the scale path (identical output
+    for unique keys)."""
     w = Window.orderBy(F.col(key).asc())
     return df.withColumn(fid_col, F.row_number().over(w))
+
+
+def assign_fids_distributed(
+    df: DataFrame,
+    key: str = "gml_id",
+    fid_col: str = "fid",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Scale-safe twin of assign_fids: dense 1-based FIDs in key order
+    with NO global single-reducer sort. Range-partition by key + sort
+    within partitions (the same shuffle a sorted write needs anyway),
+    count rows per partition (one cheap aggregate), then a map-only
+    Arrow pass adds cumulative offset + local position. Output is
+    content-identical to assign_fids when keys are unique (equal-key tie
+    order is arbitrary in both, like the reference's arrival order)."""
+    from pyspark import TaskContext
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    d = df.repartitionByRange(n, F.col(key).asc()).sortWithinPartitions(F.col(key).asc())
+    counts = {
+        r["__pid"]: r["n"]
+        for r in d.withColumn("__pid", F.spark_partition_id())
+        .groupBy("__pid")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    bc = spark.sparkContext.broadcast(offsets)
+    out_schema = StructType(list(d.schema.fields) + [StructField(fid_col, LongType(), False)])
+
+    def _add(batches):
+        pos = bc.value.get(TaskContext.get().partitionId(), 0)
+        for pdf in batches:
+            k = len(pdf)
+            pdf = pdf.copy()
+            pdf[fid_col] = range(pos + 1, pos + k + 1)
+            pos += k
+            yield pdf
+
+    return d.mapInPandas(_add, schema=out_schema)
 
 
 class ParquetTable:
@@ -194,6 +244,38 @@ class ParquetTable:
                 f"{self.path} already exists; use overwrite=True or append()"
             )
         self._commit(df)
+
+    def adopt_dir(self, src: str, overwrite: bool = False) -> None:
+        """Commit an already-written parquet directory as the new
+        snapshot by rename — zero re-read. This is the commit half of
+        the driver's single-pass partitionBy fan-out (one scan writes
+        every layer; each partition directory is adopted per-table)."""
+        if self.exists() and not overwrite:
+            raise FileExistsError(
+                f"{self.path} already exists; use overwrite=True or append_dir()"
+            )
+        old = f"{self.path}.__old_{uuid.uuid4().hex[:8]}"
+        if os.path.exists(self.path):
+            os.rename(self.path, old)
+        os.rename(src, self.path)
+        if os.path.exists(old):
+            shutil.rmtree(old)
+
+    def append_dir(self, src: str) -> None:
+        """Directory-append: move the new data files into the table
+        directory instead of re-writing the whole snapshot (the O(delta)
+        append a real table format gives you; snapshot-union append()
+        remains for callers that want uniform commit semantics). Data
+        file names are task-unique already; a batch tag prefix makes
+        repeated appends of the same staging layout collision-proof."""
+        if not self.exists():
+            os.rename(src, self.path)
+            return
+        tag = uuid.uuid4().hex[:8]
+        for fn in os.listdir(src):
+            if fn.startswith(("_", ".")):
+                continue
+            os.rename(os.path.join(src, fn), os.path.join(self.path, f"b{tag}-{fn}"))
 
     def append(self, df: DataFrame) -> None:
         """SO2 — append mode: unionByName with current snapshot (the

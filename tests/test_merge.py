@@ -105,6 +105,30 @@ def test_assign_fids_deterministic(spark):
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
 
 
+def test_assign_fids_distributed_matches_window(spark):
+    """Scale-safe per-partition-offset FIDs == global-window FIDs on
+    unique keys, regardless of input order or partition count, and the
+    plan carries no single-partition global sort."""
+    state = obce_state(spark)
+    want = sorted(
+        map(tuple, M.assign_fids(state).select("gml_id", "fid").collect())
+    )
+    for nparts in (1, 3, 16):
+        got = sorted(
+            map(
+                tuple,
+                M.assign_fids_distributed(
+                    state.orderBy(F.rand(11)), num_partitions=nparts
+                )
+                .select("gml_id", "fid")
+                .collect(),
+            )
+        )
+        assert got == want, nparts
+    plan = M.assign_fids_distributed(state)._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+
+
 def test_geometry_coalesce_chain(spark):
     obce = datagen.gen_obce(spark)
     # default chain prefers generalizovane -> originalni -> bod

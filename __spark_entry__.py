@@ -30,7 +30,7 @@ if _REPO not in sys.path:
 
 from gdal_vfr_spark import datagen  # noqa: E402
 from gdal_vfr_spark.geo import cells  # noqa: E402
-from gdal_vfr_spark.geo.knn import knn_join  # noqa: E402
+from gdal_vfr_spark.geo.knn import knn_join, knn_join_lines  # noqa: E402
 from gdal_vfr_spark.geo.pip import point_in_polygon_join  # noqa: E402
 from gdal_vfr_spark.functions import html_text  # noqa: E402
 from gdal_vfr_spark.operators import dedup, similarity, text as text_ops  # noqa: E402
@@ -682,6 +682,25 @@ def q_geo_knn(spark, sf_dir):
     )
 
 
+def q_geo_knn_lines(spark, sf_dir):
+    """J5 extension — 3 nearest STREETS per sampled page point: real
+    point-to-segment distance over gen_ulice's MultiLineString WKB (the
+    reference's nearest-street ground truth, AdresniMista.UliceKod FK,
+    gfs/AdresniMista.gfs:69-74 over gfs/Ulice.gfs:8-12 geometry). The
+    oracle regenerates the street endpoints arithmetically (bit-equal
+    doubles) and ranks by the same clamped-projection distance in the
+    same float64 op order."""
+    _ensure_shipped(spark)
+    g = _events_geo(spark, sf_dir).where(F.col("event_id") % 100 == 1)
+    ulice = datagen.gen_ulice(spark)
+    out = knn_join_lines(g, ulice, k=3, target_key="kod", id_col="event_id")
+    return out.select(
+        "event_id",
+        F.col("neighbor_key").alias("kod"),
+        (F.col("rank") + 1).cast("long").alias("rank"),
+    ).orderBy("event_id", "rank")
+
+
 def q_geo_tile_counts(spark, sf_dir):
     """J6 north-star — Z-order tile assignment (res 12) counts; oracle
     recomputes the Morton interleave in SQL bit ops."""
@@ -1295,6 +1314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_pip_counts": q_geo_pip_counts,
         "geo_pip_rows": q_geo_pip_rows,
         "geo_knn": q_geo_knn,
+        "geo_knn_lines": q_geo_knn_lines,
         "geo_tile_counts": q_geo_tile_counts,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1451,6 +1471,57 @@ def oracle_sql() -> dict[str, str]:
                        c.kod ASC) AS rank
               FROM pts p CROSS JOIN centers c
             ) WHERE rank <= 3
+        """,
+        "geo_knn_lines": f"""
+            WITH prm AS (
+              SELECT (CAST(15 AS DOUBLE) - 14) / 10 AS gdx,
+                     (CAST(50.5 AS DOUBLE) - 49.5) / 10 AS gdy,
+                     CAST(1 AS DOUBLE) / 10 AS f01,
+                     CAST(9 AS DOUBLE) / 10 AS f09
+            ), streets AS (
+              -- exact regeneration of datagen.gen_ulice_pdf endpoints:
+              -- kod sequential in (iy, ix, s) order; horizontal segment
+              -- from x0+0.1*dx to x0+0.9*dx at y0+((s+1)/3)*dy
+              SELECT 100000 + (iy.i * 10 + ix.i) * 2 + s.i AS kod,
+                     (14 + ix.i * prm.gdx) + prm.f01 * prm.gdx AS x1,
+                     (49.5 + iy.i * prm.gdy) + (CAST(s.i + 1 AS DOUBLE) / 3) * prm.gdy AS y1,
+                     (14 + ix.i * prm.gdx) + prm.f09 * prm.gdx AS x2,
+                     (49.5 + iy.i * prm.gdy) + (CAST(s.i + 1 AS DOUBLE) / 3) * prm.gdy AS y2
+              FROM (SELECT unnest(range(0, 10)) AS i) ix,
+                   (SELECT unnest(range(0, 10)) AS i) iy,
+                   (SELECT unnest(range(0, 2)) AS i) s, prm
+            ), pts AS (
+              SELECT event_id, lon, lat FROM ({geo})
+              WHERE lon IS NOT NULL AND event_id % 100 = 1
+            ), scored AS (
+              -- clamped-projection point->segment distance, same float64
+              -- op order as geo.knn._point_seg_dist2
+              SELECT p.event_id, st.kod,
+                     (p.lon - (st.x1 + LEAST(GREATEST(
+                         ((p.lon - st.x1) * (st.x2 - st.x1) + (p.lat - st.y1) * (st.y2 - st.y1))
+                         / ((st.x2 - st.x1) * (st.x2 - st.x1) + (st.y2 - st.y1) * (st.y2 - st.y1)),
+                       0), 1) * (st.x2 - st.x1)))
+                     * (p.lon - (st.x1 + LEAST(GREATEST(
+                         ((p.lon - st.x1) * (st.x2 - st.x1) + (p.lat - st.y1) * (st.y2 - st.y1))
+                         / ((st.x2 - st.x1) * (st.x2 - st.x1) + (st.y2 - st.y1) * (st.y2 - st.y1)),
+                       0), 1) * (st.x2 - st.x1)))
+                     + (p.lat - (st.y1 + LEAST(GREATEST(
+                         ((p.lon - st.x1) * (st.x2 - st.x1) + (p.lat - st.y1) * (st.y2 - st.y1))
+                         / ((st.x2 - st.x1) * (st.x2 - st.x1) + (st.y2 - st.y1) * (st.y2 - st.y1)),
+                       0), 1) * (st.y2 - st.y1)))
+                     * (p.lat - (st.y1 + LEAST(GREATEST(
+                         ((p.lon - st.x1) * (st.x2 - st.x1) + (p.lat - st.y1) * (st.y2 - st.y1))
+                         / ((st.x2 - st.x1) * (st.x2 - st.x1) + (st.y2 - st.y1) * (st.y2 - st.y1)),
+                       0), 1) * (st.y2 - st.y1)))
+                     AS d2
+              FROM pts p CROSS JOIN streets st
+            )
+            SELECT event_id, kod, CAST(rank AS BIGINT) AS rank FROM (
+              SELECT event_id, kod,
+                     row_number() OVER (PARTITION BY event_id
+                                        ORDER BY d2 ASC, kod ASC) AS rank
+              FROM scored
+            ) WHERE rank <= 3 ORDER BY event_id, rank
         """,
         "geo_tile_counts": f"""
             SELECT {_duck_cell('lon', 'lat', 12)} AS tile_key, count(*) AS n

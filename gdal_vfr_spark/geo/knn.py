@@ -199,6 +199,285 @@ def knn_batch(
     return best_q, idx.keys[best_t], best_d, best_r
 
 
+def _reduce_min_per_key(qi, kv, d2):
+    """Collapse (query, key) duplicates keeping the min distance —
+    needed for segment targets, where one street contributes many
+    segments (and a segment may register in several cover cells)."""
+    order = np.lexsort((d2, kv, qi))
+    q, v, d = qi[order], kv[order], d2[order]
+    first = np.ones(len(q), dtype=bool)
+    first[1:] = (q[1:] != q[:-1]) | (v[1:] != v[:-1])
+    return q[first], v[first], d[first]
+
+
+def _topk_merge_vals(qi, kv, d2, k):
+    """_topk_merge over key VALUES (already reduced per key) instead of
+    target indices."""
+    order = np.lexsort((kv, d2, qi))
+    qs, vs, ds = qi[order], kv[order], d2[order]
+    first = np.ones(len(qs), dtype=bool)
+    first[1:] = qs[1:] != qs[:-1]
+    grp_start = np.flatnonzero(first)
+    rank = np.arange(len(qs)) - np.repeat(
+        grp_start, np.diff(np.append(grp_start, len(qs)))
+    )
+    keep = rank < k
+    return qs[keep], vs[keep], ds[keep], rank[keep]
+
+
+def _point_seg_dist2(qx, qy, x1, y1, x2, y2):
+    """Squared distance point -> segment, clamped projection. Pure
+    elementwise float64 (broadcast-safe); op order fixed so the DuckDB
+    oracle can reproduce it bit-for-bit."""
+    dx = x2 - x1
+    dy = y2 - y1
+    l2 = dx * dx + dy * dy
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = ((qx - x1) * dx + (qy - y1) * dy) / l2
+    t = np.where(l2 > 0, np.clip(t, 0.0, 1.0), 0.0)
+    px = x1 + t * dx
+    py = y1 + t * dy
+    ex = qx - px
+    ey = qy - py
+    return ex * ex + ey * ey
+
+
+@dataclass
+class PackedSegmentIndex:
+    """Cell-bucketed line segments for point-to-LINE kNN (J5 extension:
+    nearest street — the reference's AdresniMista.UliceKod ground truth,
+    gfs/AdresniMista.gfs:69-74, over gfs/Ulice.gfs:8-12 geometry).
+
+    Each segment registers in every cell its bbox intersects (same
+    cover idea as the polygon side); entries are sorted by cell id so a
+    bucket is one searchsorted range. keys repeat per segment — queries
+    reduce to distinct keys via min-distance before ranking."""
+
+    x1: np.ndarray  # (S,) float64 segment endpoints
+    y1: np.ndarray
+    x2: np.ndarray
+    y2: np.ndarray
+    keys: np.ndarray  # (S,) int64 target key per segment
+    cell_ids: np.ndarray  # (E,) int64 sorted cover entries
+    seg_idx: np.ndarray  # (E,) int64 segment per entry
+    res: int
+
+    @classmethod
+    def build(cls, keys_and_wkb: list[tuple[int, bytes]], res: int) -> "PackedSegmentIndex":
+        from gdal_vfr_spark.geo import wkb as W
+
+        x1l, y1l, x2l, y2l, keyl = [], [], [], [], []
+        for key, buf in keys_and_wkb:
+            for line in W.decode_lines(bytes(buf)):
+                if len(line) < 2:
+                    continue
+                x1l.append(line[:-1, 0])
+                y1l.append(line[:-1, 1])
+                x2l.append(line[1:, 0])
+                y2l.append(line[1:, 1])
+                keyl.append(np.full(len(line) - 1, key, dtype=np.int64))
+        x1 = np.concatenate(x1l) if x1l else np.empty(0)
+        y1 = np.concatenate(y1l) if y1l else np.empty(0)
+        x2 = np.concatenate(x2l) if x2l else np.empty(0)
+        y2 = np.concatenate(y2l) if y2l else np.empty(0)
+        keys = np.concatenate(keyl) if keyl else np.empty(0, np.int64)
+        ent_cells, ent_seg = [], []
+        for s in range(len(keys)):
+            cc = cells.cover_bbox(
+                min(x1[s], x2[s]), min(y1[s], y2[s]),
+                max(x1[s], x2[s]), max(y1[s], y2[s]), res,
+            )
+            ent_cells.append(cc)
+            ent_seg.append(np.full(len(cc), s, dtype=np.int64))
+        cell_ids = np.concatenate(ent_cells) if ent_cells else np.empty(0, np.int64)
+        seg_idx = np.concatenate(ent_seg) if ent_seg else np.empty(0, np.int64)
+        order = np.argsort(cell_ids, kind="stable")
+        return cls(x1, y1, x2, y2, keys, cell_ids[order], seg_idx[order], res)
+
+    # same ring-walk as PackedPointIndex.ring_candidates, over cover
+    # entries (a segment can appear in several cells; the per-key
+    # min-reduce collapses duplicates downstream)
+    def ring_candidates(self, ix: np.ndarray, iy: np.ndarray, r: int):
+        n = np.int64(1) << np.int64(self.res)
+        if r == 0:
+            offs = [(0, 0)]
+        else:
+            offs = []
+            for d in range(-r, r + 1):
+                offs += [(d, -r), (d, r)]
+            for d in range(-r + 1, r):
+                offs += [(-r, d), (r, d)]
+        cand_idx: list[np.ndarray] = []
+        cand_q: list[np.ndarray] = []
+        for dx, dy in offs:
+            cx = ix + dx
+            cy = iy + dy
+            ok = (cx >= 0) & (cx < n) & (cy >= 0) & (cy < n)
+            if not ok.any():
+                continue
+            cid = (cells.morton_encode(cx[ok], cy[ok]) << np.int64(5)) | np.int64(self.res)
+            lo = np.searchsorted(self.cell_ids, cid, side="left")
+            hi = np.searchsorted(self.cell_ids, cid, side="right")
+            lens = hi - lo
+            nz = lens > 0
+            if not nz.any():
+                continue
+            qidx = np.flatnonzero(ok)[nz]
+            starts, counts = lo[nz], lens[nz]
+            flat = np.concatenate([np.arange(s, s + c) for s, c in zip(starts, counts)])
+            cand_idx.append(self.seg_idx[flat])
+            cand_q.append(np.repeat(qidx, counts))
+        if not cand_idx:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        return np.concatenate(cand_idx), np.concatenate(cand_q)
+
+
+def knn_lines_batch(
+    idx: PackedSegmentIndex, qx: np.ndarray, qy: np.ndarray, k: int, max_ring: int = 8
+):
+    """Exact k nearest LINE targets (distinct keys) per query point.
+    Ring expansion with the same certification as knn_batch: a segment
+    not registered within Chebyshev ring r has its bbox outside the
+    (2r+1)^2 block, so its distance is >= r*guard. Stragglers fall back
+    to a blocked brute-force pass over all segments."""
+    nq = len(qx)
+    ix, iy = cells.lonlat_to_grid(qx, qy, idx.res)
+    n_grid = 1 << idx.res
+    guard = min(360.0 / n_grid, 180.0 / n_grid)
+
+    acc_q: list[np.ndarray] = []
+    acc_v: list[np.ndarray] = []
+    acc_d: list[np.ndarray] = []
+    active = np.arange(nq, dtype=np.int64)
+    max_possible_ring = int(np.ceil(n_grid))
+    best = None
+
+    for r in range(0, max_ring + 1):
+        if len(active) == 0:
+            break
+        ti, qpos = idx.ring_candidates(ix[active], iy[active], r)
+        if len(ti):
+            qglob = active[qpos]
+            d2 = _point_seg_dist2(
+                qx[qglob], qy[qglob], idx.x1[ti], idx.y1[ti], idx.x2[ti], idx.y2[ti]
+            )
+            acc_q.append(qglob)
+            acc_v.append(idx.keys[ti])
+            acc_d.append(d2)
+        if acc_q:
+            rq, rv, rd = _reduce_min_per_key(
+                np.concatenate(acc_q), np.concatenate(acc_v), np.concatenate(acc_d)
+            )
+            counts = np.bincount(rq, minlength=nq)
+            kth = np.full(nq, np.inf)
+            if len(rq):
+                oq, ov, od, orank = _topk_merge_vals(rq, rv, rd, k)
+                last = orank == np.minimum(counts[oq] - 1, k - 1)
+                kth[oq[last]] = np.where(counts[oq[last]] >= k, od[last], np.inf)
+            certified = np.sqrt(kth[active]) <= r * guard
+            active = active[~certified]
+            if r >= max_ring and len(active):
+                break
+        if r >= max_possible_ring:
+            active = active[:0]
+            break
+
+    out_q = np.empty(0, np.int64)
+    out_v = np.empty(0, np.int64)
+    out_d = np.empty(0, np.float64)
+    out_r = np.empty(0, np.int64)
+    if acc_q:
+        rq, rv, rd = _reduce_min_per_key(
+            np.concatenate(acc_q), np.concatenate(acc_v), np.concatenate(acc_d)
+        )
+        done_mask = np.ones(nq, dtype=bool)
+        done_mask[active] = False
+        sel = done_mask[rq]
+        out_q, out_v, out_d, out_r = _topk_merge_vals(rq[sel], rv[sel], rd[sel], k)
+
+    if len(active):
+        nseg = max(len(idx.x1), 1)
+        chunk = max(1, int(2e7 / nseg))
+        for s in range(0, len(active), chunk):
+            a = active[s : s + chunk]
+            d2 = _point_seg_dist2(
+                qx[a][:, None], qy[a][:, None],
+                idx.x1[None, :], idx.y1[None, :], idx.x2[None, :], idx.y2[None, :],
+            )
+            qi = np.repeat(a, d2.shape[1])
+            kv = np.tile(idx.keys, len(a))
+            rq, rv, rd = _reduce_min_per_key(qi, kv, d2.ravel())
+            q2, v2, d2f, r2 = _topk_merge_vals(rq, rv, rd, k)
+            out_q = np.concatenate([out_q, q2])
+            out_v = np.concatenate([out_v, v2])
+            out_d = np.concatenate([out_d, d2f])
+            out_r = np.concatenate([out_r, r2])
+
+    return out_q, out_v, out_d, out_r
+
+
+def knn_join_lines(
+    points_df: DataFrame,
+    targets_df: DataFrame,
+    k: int,
+    target_key: str,
+    geom_col: str = "definicni_cara",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    res: int | None = None,
+    id_col: str = "url",
+    max_ring: int = 8,
+) -> DataFrame:
+    """k nearest LINE features (streets) per point: (id_col,
+    neighbor_key, dist2, rank). Same execution shape as knn_join —
+    broadcast packed index, map-only Arrow pass, zero shuffle on the
+    point side."""
+    spark = points_df.sparkSession
+    rows = (
+        targets_df.select(target_key, geom_col)
+        .where(F.col(geom_col).isNotNull())
+        .collect()
+    )
+    pairs = [(int(r[0]), bytes(r[1])) for r in rows]
+    if res is None:
+        nseg = max(sum(1 for _ in pairs), 2)
+        res = int(np.clip(np.ceil(np.log2(nseg) / 2) + 1, 3, cells.MAX_RES))
+    idx = PackedSegmentIndex.build(pairs, res)
+    bc = spark.sparkContext.broadcast(idx)
+
+    id_field = points_df.schema[id_col]
+    out_schema = T.StructType(
+        [
+            id_field,
+            T.StructField("neighbor_key", T.LongType()),
+            T.StructField("dist2", T.DoubleType()),
+            T.StructField("rank", T.IntegerType()),
+        ]
+    )
+    src = points_df.select(id_col, lon_col, lat_col).where(
+        F.col(lon_col).isNotNull() & F.col(lat_col).isNotNull()
+    )
+
+    def _map(batches):
+        index: PackedSegmentIndex = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            qx = pdf[lon_col].to_numpy(dtype=np.float64)
+            qy = pdf[lat_col].to_numpy(dtype=np.float64)
+            qi, keys, d2, rank = knn_lines_batch(index, qx, qy, k, max_ring=max_ring)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy()[qi],
+                    "neighbor_key": keys,
+                    "dist2": d2,
+                    "rank": rank.astype(np.int32),
+                }
+            )
+
+    return src.mapInPandas(_map, schema=out_schema)
+
+
 def knn_join(
     points_df: DataFrame,
     targets_df: DataFrame,

@@ -151,9 +151,12 @@ def gen_obce_pdf(seed: int = 42, densify: int = 1) -> pd.DataFrame:
             kod = int(obec_kod(np.asarray([ix]), np.asarray([iy]))[0])
             x0, y0 = LON0 + ix * dx, LAT0 + iy * dy
             ring = _grid_polygon(x0, y0, dx, dy, densify=densify)
+            # ~30% NULL generalizovane exercises the coalesce chain; the
+            # pattern is a DETERMINISTIC function of kod so the A2/P4
+            # oracles can recompute presence from pure arithmetic
             gen = (
                 wkb.multipolygon([[_grid_polygon(x0, y0, dx, dy, shrink=0.02)]])
-                if rng.random() > 0.30  # ~30% NULL exercises coalesce chain
+                if (kod * 7919) % 97 >= 29
                 else None
             )
             rows.append(
@@ -268,6 +271,81 @@ def gen_ulice_pdf(seed: int = 42, per_obec: int = 2) -> pd.DataFrame:
                     }
                 )
                 kod += 1
+    return pd.DataFrame(rows)
+
+
+SO_BASE = 20000000
+AM_BASE = 30000000
+
+
+def gen_stavebni_objekty_pdf(seed: int = 42, per_ku: int = 3) -> pd.DataFrame:
+    """Building layer analogue (gfs/StavebniObjekty.gfs:44-75):
+    definition point + FK to katastralni uzemi. Placement is a
+    deterministic function of kod, strictly INSIDE the parent KU cell
+    (odd ten-thousandth fractions, never on a grid boundary), so PIP
+    containment equals the FK ground truth and oracles can regenerate
+    everything arithmetically."""
+    rows = []
+    nku = GRID * KU_SUB
+    dxu = (LON1 - LON0) / nku
+    dyu = (LAT1 - LAT0) / nku
+    for iy in range(nku):
+        for ix in range(nku):
+            ku = KU_BASE + iy * nku + ix
+            for b in range(per_ku):
+                kod = SO_BASE + (iy * nku + ix) * per_ku + b
+                fx = (2 * ((kod * 7919) % 4999) + 1) / 10000.0
+                fy = (2 * ((kod * 104729) % 4999) + 1) / 10000.0
+                lon = LON0 + (ix + fx) * dxu
+                lat = LAT0 + (iy + fy) * dyu
+                rows.append(
+                    {
+                        "kod": kod,
+                        "katastralni_uzemi_kod": ku,
+                        "pocet_podlazi": int(kod % 9) + 1,
+                        "definicni_bod": wkb.point(lon, lat),
+                        "lon": lon,
+                        "lat": lat,
+                    }
+                )
+    return pd.DataFrame(rows)
+
+
+def gen_adresni_mista_pdf(seed: int = 42, per_ku: int = 3) -> pd.DataFrame:
+    """Address-point layer analogue (gfs/AdresniMista.gfs:63-80): FK to
+    stavebni objekt + the nearest-street ulice FK ground truth
+    (AdresniMista.UliceKod, gfs/AdresniMista.gfs:69-74), with ~4%
+    missing AdresniBod (reference golden: 9/221). 1 + kod%3 addresses
+    per building; kod sequential in (building, j) order."""
+    so = gen_stavebni_objekty_pdf(seed, per_ku)
+    nku = GRID * KU_SUB
+    rows = []
+    kod = AM_BASE
+    for r in so.itertuples():
+        ku_idx = r.katastralni_uzemi_kod - KU_BASE
+        kiy, kix = ku_idx // nku, ku_idx % nku
+        oiy, oix = kiy // KU_SUB, kix // KU_SUB
+        # fraction of the OBEC cell covered by this point's latitude:
+        # streets run horizontally at obec-fractions 1/3 and 2/3, so the
+        # nearest street is s=0 below the midline, s=1 above (same x
+        # span for all candidates -> decided purely by |dy|)
+        frac_in_obec = (r.lat - (LAT0 + oiy * _dy())) / _dy()
+        s = 0 if frac_in_obec < 0.5 else 1
+        ulice = ULICE_BASE + (oiy * GRID + oix) * 2 + s
+        for _ in range(1 + r.kod % 3):
+            null_geo = (kod % 25) == 7
+            rows.append(
+                {
+                    "kod": kod,
+                    "stavebni_objekt_kod": r.kod,
+                    "ulice_kod": ulice,
+                    "cislo_domovni": int(kod % 1000),
+                    "adresni_bod": None if null_geo else wkb.point(r.lon, r.lat),
+                    "lon": None if null_geo else r.lon,
+                    "lat": None if null_geo else r.lat,
+                }
+            )
+            kod += 1
     return pd.DataFrame(rows)
 
 
@@ -443,7 +521,15 @@ def tombstones_schema():
 
 def spark_df(spark, pdf: pd.DataFrame, schema):
     """createDataFrame with an explicit schema — works identically with
-    and without Arrow (the driver's oracle harness runs Arrow-off)."""
+    and without Arrow (the driver's oracle harness runs Arrow-off).
+
+    NaN in float columns means MISSING in these fixtures. Arrow-on maps
+    NaN -> NULL but the plain converter keeps NaN (so `IS NOT NULL`
+    would diverge between sessions) — normalize to None first."""
+    for c in pdf.columns:
+        if pd.api.types.is_float_dtype(pdf[c]) and pdf[c].isna().any():
+            pdf = pdf.copy()
+            pdf[c] = pdf[c].astype(object).where(pdf[c].notna(), None)
     return spark.createDataFrame(pdf, schema=schema)
 
 
@@ -465,6 +551,30 @@ def gen_parcely(spark, seed: int = 42, per_ku: int = 4):
 
 def gen_ulice(spark, seed: int = 42, per_obec: int = 2):
     return spark_df(spark, gen_ulice_pdf(seed, per_obec), ulice_schema())
+
+
+def stavebni_objekty_schema():
+    return _schema(
+        ("kod", "long"), ("katastralni_uzemi_kod", "long"),
+        ("pocet_podlazi", "long"), ("definicni_bod", "binary"),
+        ("lon", "double"), ("lat", "double"),
+    )
+
+
+def adresni_mista_schema():
+    return _schema(
+        ("kod", "long"), ("stavebni_objekt_kod", "long"), ("ulice_kod", "long"),
+        ("cislo_domovni", "long"), ("adresni_bod", "binary"),
+        ("lon", "double"), ("lat", "double"),
+    )
+
+
+def gen_stavebni_objekty(spark, seed: int = 42, per_ku: int = 3):
+    return spark_df(spark, gen_stavebni_objekty_pdf(seed, per_ku), stavebni_objekty_schema())
+
+
+def gen_adresni_mista(spark, seed: int = 42, per_ku: int = 3):
+    return spark_df(spark, gen_adresni_mista_pdf(seed, per_ku), adresni_mista_schema())
 
 
 def gen_changes(spark, seed: int = 42, **kw):

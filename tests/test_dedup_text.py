@@ -178,3 +178,42 @@ def test_with_quality_matches_expr(spark, docs):
     assert {r["doc_id"]: r["quality"] for r in a.collect()} == {
         r["doc_id"]: r["quality"] for r in b.collect()
     }
+
+
+def test_ann_lsh_recall_vs_exact(spark):
+    """SRP-LSH top-k is approximate by design; pin its quality so the
+    scale path can't silently degrade to noise: measured against exact
+    brute-force top-10 on the sf0.01 embeddings, bucket recall must
+    clear a floor and grow as planes shrink (bigger buckets). Measured
+    here: 0.145 @ 6 planes, 0.25 @ 4, 0.34 @ 3 — near-uniform random
+    embeddings make single-bucket-probe recall inherently modest;
+    production would band-OR several tables or multiprobe."""
+    import os
+
+    path = "/root/testdata/sf0.01/embeddings.parquet"
+    if not os.path.exists(path):  # pragma: no cover
+        import pytest
+
+        pytest.skip("testdata not present")
+    emb = spark.read.parquet(path)
+    q = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in similarity.brute_force_topk(emb, q, k=10).collect()
+    }
+
+    def recall(n_planes):
+        got = {
+            (r.query_id, r.vec_id)
+            for r in similarity.lsh_bucketed_topk(
+                emb, q, k=10, dim=64, n_planes=n_planes
+            ).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    r6, r3 = recall(6), recall(3)
+    assert r6 >= 0.08, r6
+    assert r3 >= r6, (r3, r6)
+    assert r3 >= 0.25, r3

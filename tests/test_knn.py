@@ -175,3 +175,20 @@ def test_knn_join_lines_spark(spark):
     )
     assert same_or_neighbor.all()
     assert (street_obec == pdf.truth_obec_kod).mean() > 0.7
+
+
+def test_nearest_street_matches_ulice_fk(spark):
+    """The adresni-mista fixture carries the reference's nearest-street
+    FK (AdresniMista.UliceKod analogue); segment-kNN rank-1 over the
+    real ulice WKB must reproduce it for every geotagged address."""
+    from pyspark.sql import functions as F
+
+    from gdal_vfr_spark.geo.knn import knn_join_lines
+
+    am = datagen.gen_adresni_mista(spark)
+    ulice = datagen.gen_ulice(spark)
+    out = knn_join_lines(am, ulice, k=1, target_key="kod", id_col="kod")
+    joined = out.join(am.select("kod", "ulice_kod"), "kod")
+    n = am.where("lon is not null").count()
+    assert joined.count() == n
+    assert joined.where(F.col("neighbor_key") != F.col("ulice_kod")).count() == 0

@@ -802,8 +802,9 @@ def q_p6_align_schema(spark, sf_dir):
 
 
 def q_s4_formats(spark, sf_dir):
-    """S4 — writable-format introspection (utils.py:26-43). Engine
-    formats have no DuckDB referent -> rows-only check."""
+    """S4 — writable-format introspection (utils.py:26-43). The list is
+    a contract constant, so the oracle pins it with a VALUES literal —
+    a schema/inventory check, not a computation check."""
     from gdal_vfr_spark.operators.export import list_formats
 
     return spark.createDataFrame([(f,) for f in list_formats(spark)], "format string").orderBy(
@@ -1178,7 +1179,9 @@ def q_ann_lsh_topk(spark, sf_dir):
 
 def q_multimodal_meta(spark, sf_dir):
     """Binary-column plumbing (decode stubbed — no codec libs): size +
-    sha1 metadata via mapInPandas."""
+    md5 content-hash metadata via mapInPandas. EXACT oracle: the fake
+    dims are constants and DuckDB computes the same md5/octet_length
+    over the same utf-8 bytes."""
     _ensure_shipped(spark)
     from gdal_vfr_spark.operators import multimodal
 
@@ -1186,7 +1189,7 @@ def q_multimodal_meta(spark, sf_dir):
         F.col("doc_id").cast("string").alias("url"),
         F.encode("text", "utf-8").alias("html"),
     )
-    return multimodal.image_metadata(docs)
+    return multimodal.image_metadata(docs).orderBy("url")
 
 
 def q_embedding_near_dup(spark, sf_dir):
@@ -1771,6 +1774,18 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY doc_id
         """,
         "embedding_near_dup": _duck_srp_near_dup_sql(),
+        "s4_formats": """
+            SELECT format FROM (VALUES ('csv'), ('json'), ('orc'),
+                                        ('parquet'), ('text')) t(format)
+            ORDER BY format
+        """,
+        "multimodal_meta": """
+            SELECT CAST(doc_id AS VARCHAR) AS url,
+                   CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+                   octet_length(encode(text)) AS n_bytes,
+                   md5(text) AS content_md5
+            FROM documents ORDER BY url
+        """,
         "a2_wkb_presence": """
             WITH obce AS (
               SELECT 500000 + iy.i * 10 + ix.i AS kod

@@ -90,7 +90,7 @@ def spatial_pipeline(spark, path: str, joiner=None):
     ).agg(F.count("*").alias("n_pages"))
 
 
-def run_spatial_worker(cpus: int, path: str) -> None:
+def run_spatial_worker(cpus: int, path: str, runs: int = 2) -> None:
     """Subprocess entry: run the spatial job at local[cpus], print JSON."""
     from gdal_vfr_spark import get_spark
 
@@ -103,12 +103,11 @@ def run_spatial_worker(cpus: int, path: str) -> None:
     n_geo = spark.read.parquet(path).where("lon is not null").count()
     joiner = make_joiner(spark)
     # full warmup run (JIT, codegen, python worker pool), then best of
-    # four measured runs (this host is shared; min controls for
-    # background load spikes — the efficiency ratio needs one quiet
-    # window per level)
+    # `runs` measured runs (this host is shared; min controls for
+    # background load spikes)
     _materialize(spatial_pipeline(spark, path, joiner))
     times = []
-    for _ in range(4):
+    for _ in range(runs):
         t0 = time.time()
         _materialize(spatial_pipeline(spark, path, joiner))
         times.append(time.time() - t0)
@@ -133,9 +132,12 @@ def bench_spatial() -> dict:
     )
     # tags are derived from the ACTUAL parallelism levels measured, so
     # the BENCH JSON is self-describing (round-1 advice: hard-coded
-    # n8/n32 tags mislabeled the default local[2]/local[8] run)
+    # n8/n32 tags mislabeled the default local[2]/local[8] run).
+    # Levels are INTERLEAVED (lo, hi, lo, hi) so both sample overlapping
+    # time windows on this shared host — one quiet window hitting only
+    # one level otherwise skews the efficiency ratio by ±0.1.
     out["levels"] = {"lo": lo, "hi": hi}
-    for cpus, tag in ((lo, f"n{lo}"), (hi, f"n{hi}")):
+    for cpus in (lo, hi, lo, hi):
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--spatial-worker", str(cpus), SPATIAL_PATH],
             capture_output=True,
@@ -143,7 +145,10 @@ def bench_spatial() -> dict:
             cwd=REPO,
         )
         line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
-        out[tag] = json.loads(line)
+        res = json.loads(line)
+        tag = f"n{cpus}"
+        if tag not in out or res["sec"] < out[tag]["sec"]:
+            out[tag] = res
     thr_lo = out[f"n{lo}"]["pages_per_sec"]
     thr_hi = out[f"n{hi}"]["pages_per_sec"]
     out["scaling_efficiency"] = (thr_hi / thr_lo) / (hi / lo)

@@ -24,7 +24,10 @@ IMAGE_META_SCHEMA = T.StructType(
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
         T.StructField("n_bytes", T.LongType()),
-        T.StructField("sha1", T.StringType()),
+        # md5 (not sha1): the engine-wide exactness rule is that all
+        # content hashing derives from md5, which DuckDB shares — so
+        # even this stubbed-decode operator gets an exact oracle
+        T.StructField("content_md5", T.StringType()),
     ]
 )
 
@@ -69,7 +72,7 @@ def image_metadata(df: DataFrame, binary_col: str = "html", url_col: str = "url"
                     "width": np.full(len(pdf), 8, dtype=np.int32),
                     "height": np.full(len(pdf), 8, dtype=np.int32),
                     "n_bytes": bufs.map(len).astype(np.int64),
-                    "sha1": bufs.map(lambda b: hashlib.sha1(bytes(b)).hexdigest()),
+                    "content_md5": bufs.map(lambda b: hashlib.md5(bytes(b)).hexdigest()),
                 }
             )
 

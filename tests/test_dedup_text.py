@@ -132,7 +132,7 @@ def test_multimodal_plumbing(spark):
     )
     df = spark.createDataFrame(pdf)
     meta = {r["url"]: r for r in multimodal.image_metadata(df).collect()}
-    assert meta["a"]["n_bytes"] == 15 and len(meta["a"]["sha1"]) == 40
+    assert meta["a"]["n_bytes"] == 15 and len(meta["a"]["content_md5"]) == 32
     feats = multimodal.image_features(df).collect()
     assert all(len(r["feature"]) == 3 for r in feats)
     # determinism: same bytes -> same features

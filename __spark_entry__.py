@@ -801,6 +801,35 @@ def q_p6_align_schema(spark, sf_dir):
     ).orderBy("event_id")
 
 
+def q_f9_dsn_extract(spark, sf_dir):
+    """F9 — DSN extraction (vfr2pg PG connection strings): synthesize
+    'PG:dbname=... host=... port=... user=...' strings (user omitted on
+    every other row -> NULL), parse with sources.manifest.parse_dsn
+    (pure Catalyst regexp_extract). The oracle reconstructs the parsed
+    fields ARITHMETICALLY — independent derivation, not the same regex
+    on both sides."""
+    from gdal_vfr_spark.sources.manifest import parse_dsn
+
+    o = _read(spark, sf_dir, "orders").where(F.col("o_orderkey") % 100 == 3)
+    user_part = F.when(
+        F.col("o_orderkey") % 2 == 0,
+        F.concat(F.lit(" user=u"), (F.col("o_orderkey") % 7).cast("string")),
+    ).otherwise(F.lit(""))
+    dsn = F.concat(
+        F.lit("PG:dbname=vfr_"),
+        F.lower("o_orderstatus"),
+        F.lit(" host=db"),
+        (F.col("o_orderkey") % 5).cast("string"),
+        F.lit(" port=543"),
+        (F.col("o_orderkey") % 3).cast("string"),
+        user_part,
+    )
+    d = o.select(F.col("o_orderkey").alias("key"), dsn.alias("dsn"))
+    return parse_dsn(d).select(
+        "key", "driver", "dbname", "host", "port", "user"
+    ).orderBy("key")
+
+
 def q_s4_formats(spark, sf_dir):
     """S4 — writable-format introspection (utils.py:26-43). The list is
     a contract constant, so the oracle pins it with a VALUES literal —
@@ -873,6 +902,44 @@ def q_stream_change_merge(spark, sf_dir):
     return (
         table.read().groupBy("status").agg(F.count("*").alias("n")).orderBy("status")
     )
+
+
+_SDEDUP_SEQ = [0]
+
+
+def q_stream_dedup(spark, sf_dir):
+    """§2.10 + dedup family — STATEFUL streaming exact-dedup
+    (applyInPandasWithState): the document stream arrives as two files
+    (originals, then +1000-id copies of every text); the state layer
+    must emit each content hash exactly once, suppressing the entire
+    second batch. Exact oracle: min doc_id per md5 over the unioned
+    stream input."""
+    _ensure_shipped(spark)
+    import glob
+    import shutil
+    import tempfile
+
+    from gdal_vfr_spark.streaming.incremental import streaming_exact_dedup
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = docs.select((F.col("doc_id") + 1000).alias("doc_id"), "text")
+    tmp = tempfile.mkdtemp(prefix="gvs_sdedup_")
+    src = os.path.join(tmp, "docs")
+    os.makedirs(src)
+    for i, batch in enumerate((docs, dups), start=1):
+        stage = os.path.join(tmp, f"stage{i}")
+        batch.coalesce(1).write.parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(src, f"{i:04d}.parquet"))
+    _SDEDUP_SEQ[0] += 1
+    out = streaming_exact_dedup(
+        spark,
+        src,
+        schema=docs.schema,
+        checkpoint_dir=os.path.join(tmp, "ckpt"),
+        out_table=f"stream_dedup_{_SDEDUP_SEQ[0]}",
+    )
+    return out.orderBy("doc_id")
 
 
 _WSTREAM_SEQ = [0]
@@ -1410,6 +1477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_e2e": q_pipeline_e2e,
         "a3_change_tally": q_a3_change_tally,
         "stream_change_merge": q_stream_change_merge,
+        "stream_dedup": q_stream_dedup,
         "skew_salted_count": q_skew_salted_count,
         "stream_window_counts": q_stream_window_counts,
         "skew_salted_join": q_skew_salted_join,
@@ -1418,6 +1486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f7_regex_extract": q_f7_regex_extract,
         "p6_align_schema": q_p6_align_schema,
         "s4_formats": q_s4_formats,
+        "f9_dsn_extract": q_f9_dsn_extract,
         "ann_topk": q_ann_topk,
         "embedding_near_dup_exact": q_embedding_near_dup_exact,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -1634,6 +1703,15 @@ def oracle_sql() -> dict[str, str]:
         "text_extract": _duck_text_extract_sql(),
         "geo_tile_join": _duck_tile_join_sql(),
         "pipeline_e2e": _duck_pipeline_sql(),
+        "stream_dedup": """
+            WITH s AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000, text FROM documents
+            )
+            SELECT md5(text) AS content_md5, min(doc_id) AS doc_id
+            FROM s GROUP BY 1 ORDER BY doc_id
+        """,
         "stream_change_merge": """
             WITH c1 AS (SELECT o_orderkey AS gml_id, o_orderstatus AS status
                         FROM orders WHERE o_orderkey % 7 = 0),
@@ -1778,6 +1856,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT format FROM (VALUES ('csv'), ('json'), ('orc'),
                                         ('parquet'), ('text')) t(format)
             ORDER BY format
+        """,
+        "f9_dsn_extract": """
+            SELECT o_orderkey AS key,
+                   'PG' AS driver,
+                   'vfr_' || lower(o_orderstatus) AS dbname,
+                   'db' || CAST(o_orderkey % 5 AS VARCHAR) AS host,
+                   CAST('543' || CAST(o_orderkey % 3 AS VARCHAR) AS INTEGER) AS port,
+                   CASE WHEN o_orderkey % 2 = 0
+                        THEN 'u' || CAST(o_orderkey % 7 AS VARCHAR)
+                        ELSE NULL END AS "user"
+            FROM orders WHERE o_orderkey % 100 = 3 ORDER BY key
         """,
         "multimodal_meta": """
             SELECT CAST(doc_id AS VARCHAR) AS url,

@@ -56,6 +56,32 @@ def resolve_file_names(
     return [f"{prefix}/{d.strftime('%Y%m%d')}_{vfr_type}.{ext}" for d in dates]
 
 
+def parse_dsn(df: DataFrame, dsn_col: str = "dsn") -> DataFrame:
+    """F9 — OGR datasource-name extraction (vfr2pg's PG DSN parsing,
+    vfrpg.py / vfr2py.py argument handling): split a
+    'PG:key=value key=value' connection string into typed columns with
+    pure Catalyst regexp_extract (patterns stay in the
+    Java∩RE2∩Python-re subset: explicit classes, no backrefs).
+    Missing keys yield NULL (regexp_extract '' -> NULL via nullif)."""
+
+    def part(key: str):
+        return F.nullif(
+            F.regexp_extract(F.col(dsn_col), f"{key}=([^ ]+)", 1), F.lit("")
+        )
+
+    return df.withColumns(
+        {
+            "driver": F.nullif(
+                F.regexp_extract(F.col(dsn_col), "^([A-Za-z]+):", 1), F.lit("")
+            ),
+            "dbname": part("dbname"),
+            "host": part("host"),
+            "port": part("port").cast("int"),
+            "user": part("user"),
+        }
+    )
+
+
 def batch_manifest(
     spark,
     vfr_type: str,

@@ -52,6 +52,86 @@ def change_stream_merge(
     return table
 
 
+def streaming_exact_dedup(
+    spark,
+    docs_dir: str,
+    schema,
+    checkpoint_dir: str,
+    out_table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Stateful streaming exact-dedup: one state entry per content hash
+    (md5), emitting only the FIRST-seen document per hash across
+    micro-batches — applyInPandasWithState, the custom-stateful-operator
+    path Structured Streaming provides. Within a batch the winner is
+    the min id (deterministic); later batches are suppressed by state.
+
+    Scale note: state size = one boolean per distinct hash, hash-
+    partitioned across executors by the groupBy — the same shuffle key
+    the batch exact_dedup uses. A production stream would add a state
+    TTL (GroupStateTimeout) or RocksDB state store; the operator shape
+    is unchanged.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("content_md5", T.StringType()),
+            T.StructField(id_col, T.LongType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("seen", T.BooleanType())])
+
+    def _first_seen(key, pdfs, state):
+        best = None
+        for pdf in pdfs:
+            if len(pdf):
+                m = int(pdf[id_col].min())
+                best = m if best is None or m < best else best
+        if state.exists or best is None:
+            return
+        state.update((True,))
+        yield pd.DataFrame({"content_md5": [key[0]], id_col: [best]})
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_dir)
+    )
+    dedup = (
+        stream.withColumn("content_md5", F.md5(F.col(text_col)))
+        .groupBy("content_md5")
+        .applyInPandasWithState(
+            _first_seen,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    # the state-store partition count is frozen from shuffle.partitions
+    # at stream START (a default 200 means 200 state stores per batch —
+    # pure overhead at test scale; size to the cluster in production)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        q = (
+            dedup.writeStream.format("memory")
+            .queryName(out_table)
+            .outputMode("append")
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(out_table)
+
+
 def windowed_event_counts(
     events_stream: DataFrame,
     window: str = "1 hour",

@@ -30,7 +30,7 @@ if _REPO not in sys.path:
 
 from gdal_vfr_spark import datagen  # noqa: E402
 from gdal_vfr_spark.geo import cells  # noqa: E402
-from gdal_vfr_spark.geo.knn import knn_join, knn_join_lines  # noqa: E402
+from gdal_vfr_spark.geo.knn import knn_join  # noqa: E402
 from gdal_vfr_spark.geo.pip import point_in_polygon_join  # noqa: E402
 from gdal_vfr_spark.functions import html_text  # noqa: E402
 from gdal_vfr_spark.operators import dedup, similarity, text as text_ops  # noqa: E402
@@ -639,6 +639,17 @@ def _ku_joiner(spark):
     return j
 
 
+def _ulice_joiner(spark):
+    key = (spark.sparkContext.applicationId, "ulice")
+    j = _JOINER_CACHE.get(key)
+    if j is None:
+        from gdal_vfr_spark.geo.knn import LineKNNJoiner
+
+        j = LineKNNJoiner(datagen.gen_ulice(spark), target_key="kod")
+        _JOINER_CACHE[key] = j
+    return j
+
+
 def q_geo_pip_counts(spark, sf_dir):
     """J4 north-star — point-in-polygon page counts per municipality,
     via the REAL cell-cover + winding-refine machinery; oracle = floor
@@ -692,8 +703,7 @@ def q_geo_knn_lines(spark, sf_dir):
     same float64 op order."""
     _ensure_shipped(spark)
     g = _events_geo(spark, sf_dir).where(F.col("event_id") % 100 == 1)
-    ulice = datagen.gen_ulice(spark)
-    out = knn_join_lines(g, ulice, k=3, target_key="kod", id_col="event_id")
+    out = _ulice_joiner(spark).apply(g, k=3, id_col="event_id")
     return out.select(
         "event_id",
         F.col("neighbor_key").alias("kod"),
@@ -1259,6 +1269,25 @@ def q_multimodal_meta(spark, sf_dir):
     return multimodal.image_metadata(docs).orderBy("url")
 
 
+def q_multimodal_frames(spark, sf_dir):
+    """Video frame-sampling shape: 1 input row -> n_frames output rows
+    via mapInPandas (the expansion pattern real frame extraction
+    needs). The frame hash itself is a fake-decode artifact (pytest
+    pins its determinism); the ORACLE checks the expansion contract —
+    every doc yields exactly frames 0,2,4,6."""
+    _ensure_shipped(spark)
+    from gdal_vfr_spark.operators import multimodal
+
+    docs = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.encode("text", "utf-8").alias("html"),
+    )
+    frames = multimodal.sample_frames(docs, every_n=2, n_frames=4)
+    return frames.select(
+        "url", F.col("frame_idx").cast("long").alias("frame_idx")
+    ).orderBy("url", "frame_idx")
+
+
 def q_embedding_near_dup(spark, sf_dir):
     """Embedding near-dup pairs within SRP buckets. The bucketing is a
     deterministic function of the seeded hyperplane constants, so the
@@ -1491,6 +1520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_exact": q_embedding_near_dup_exact,
         "ann_lsh_topk": q_ann_lsh_topk,
         "multimodal_meta": q_multimodal_meta,
+        "multimodal_frames": q_multimodal_frames,
         "embedding_near_dup": q_embedding_near_dup,
         "geo_pip_hierarchy": q_geo_pip_hierarchy,
         "geo_pip_hierarchy3": q_geo_pip_hierarchy3,
@@ -1874,6 +1904,11 @@ def oracle_sql() -> dict[str, str]:
                    octet_length(encode(text)) AS n_bytes,
                    md5(text) AS content_md5
             FROM documents ORDER BY url
+        """,
+        "multimodal_frames": """
+            SELECT CAST(doc_id AS VARCHAR) AS url, CAST(f.i AS BIGINT) AS frame_idx
+            FROM documents, (SELECT unnest([0, 2, 4, 6]) AS i) f
+            ORDER BY url, frame_idx
         """,
         "a2_wkb_presence": """
             WITH obce AS (

@@ -49,6 +49,11 @@ HEADLINE = [
     "geo_tile_join",
     "asof_join",
     "pipeline_e2e",
+    # round-2 additions (baseline reset documented in BASELINE.md —
+    # the 19-query subtotal stays comparable to the 19.5s r1 number)
+    "geo_knn_lines",
+    "geo_pip_hierarchy3",
+    "embedding_near_dup",
 ]
 
 SPATIAL_N = int(os.environ.get("SPARK_GRAFT_BENCH_N", 40_000_000))
@@ -133,11 +138,12 @@ def bench_spatial() -> dict:
     # tags are derived from the ACTUAL parallelism levels measured, so
     # the BENCH JSON is self-describing (round-1 advice: hard-coded
     # n8/n32 tags mislabeled the default local[2]/local[8] run).
-    # Levels are INTERLEAVED (lo, hi, lo, hi) so both sample overlapping
-    # time windows on this shared host — one quiet window hitting only
-    # one level otherwise skews the efficiency ratio by ±0.1.
+    # Levels are INTERLEAVED (lo, hi, lo, hi, ...) so both sample
+    # overlapping time windows on this shared host — one quiet window
+    # hitting only one level otherwise skews the efficiency ratio by
+    # ±0.1. Three rounds per level; min time per level wins.
     out["levels"] = {"lo": lo, "hi": hi}
-    for cpus in (lo, hi, lo, hi):
+    for cpus in (lo, hi, lo, hi, lo, hi):
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--spatial-worker", str(cpus), SPATIAL_PATH],
             capture_output=True,
@@ -175,11 +181,18 @@ def main() -> None:
     qs = entrymod.queries()
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        df = qs[name](spark, sf_dir)
-        _materialize(df.limit(1))  # plan warmup
-        t0 = time.time()
+        # FULL warmup run (JIT, codegen, python-worker pool, eager
+        # caches), then best-of-2 measured runs — the same steady-state
+        # min protocol as the spatial bench; this shared host's noisy
+        # neighbors inflate single runs up to 10x without warning
         _materialize(qs[name](spark, sf_dir))
-        timings[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            _materialize(qs[name](spark, sf_dir))
+            dt = time.time() - t0
+            best = dt if best is None or dt < best else best
+        timings[name] = round(best, 3)
     total = round(sum(timings.values()), 3)
     spark.stop()
 

@@ -416,6 +416,75 @@ def knn_lines_batch(
     return out_q, out_v, out_d, out_r
 
 
+class LineKNNJoiner:
+    """Prepared line-kNN join: segment decode + cell cover + broadcast
+    happen ONCE; apply() joins any number of point batches — the same
+    once-per-job vs per-batch split as PIPJoiner (the street layer is a
+    dimension table; its prepared index amortizes across batches)."""
+
+    def __init__(
+        self,
+        targets_df: DataFrame,
+        target_key: str,
+        geom_col: str = "definicni_cara",
+        res: int | None = None,
+    ):
+        spark = targets_df.sparkSession
+        rows = (
+            targets_df.select(target_key, geom_col)
+            .where(F.col(geom_col).isNotNull())
+            .collect()
+        )
+        pairs = [(int(r[0]), bytes(r[1])) for r in rows]
+        if res is None:
+            nseg = max(len(pairs), 2)
+            res = int(np.clip(np.ceil(np.log2(nseg) / 2) + 1, 3, cells.MAX_RES))
+        self.index = PackedSegmentIndex.build(pairs, res)
+        self._bc = spark.sparkContext.broadcast(self.index)
+
+    def apply(
+        self,
+        points_df: DataFrame,
+        k: int,
+        lon_col: str = "lon",
+        lat_col: str = "lat",
+        id_col: str = "url",
+        max_ring: int = 8,
+    ) -> DataFrame:
+        bc = self._bc
+        id_field = points_df.schema[id_col]
+        out_schema = T.StructType(
+            [
+                id_field,
+                T.StructField("neighbor_key", T.LongType()),
+                T.StructField("dist2", T.DoubleType()),
+                T.StructField("rank", T.IntegerType()),
+            ]
+        )
+        src = points_df.select(id_col, lon_col, lat_col).where(
+            F.col(lon_col).isNotNull() & F.col(lat_col).isNotNull()
+        )
+
+        def _map(batches):
+            index: PackedSegmentIndex = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                qx = pdf[lon_col].to_numpy(dtype=np.float64)
+                qy = pdf[lat_col].to_numpy(dtype=np.float64)
+                qi, keys, d2, rank = knn_lines_batch(index, qx, qy, k, max_ring=max_ring)
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col].to_numpy()[qi],
+                        "neighbor_key": keys,
+                        "dist2": d2,
+                        "rank": rank.astype(np.int32),
+                    }
+                )
+
+        return src.mapInPandas(_map, schema=out_schema)
+
+
 def knn_join_lines(
     points_df: DataFrame,
     targets_df: DataFrame,
@@ -429,53 +498,13 @@ def knn_join_lines(
     max_ring: int = 8,
 ) -> DataFrame:
     """k nearest LINE features (streets) per point: (id_col,
-    neighbor_key, dist2, rank). Same execution shape as knn_join —
-    broadcast packed index, map-only Arrow pass, zero shuffle on the
+    neighbor_key, dist2, rank). One-shot convenience over LineKNNJoiner
+    — broadcast packed index, map-only Arrow pass, zero shuffle on the
     point side."""
-    spark = points_df.sparkSession
-    rows = (
-        targets_df.select(target_key, geom_col)
-        .where(F.col(geom_col).isNotNull())
-        .collect()
+    joiner = LineKNNJoiner(targets_df, target_key, geom_col, res=res)
+    return joiner.apply(
+        points_df, k, lon_col=lon_col, lat_col=lat_col, id_col=id_col, max_ring=max_ring
     )
-    pairs = [(int(r[0]), bytes(r[1])) for r in rows]
-    if res is None:
-        nseg = max(sum(1 for _ in pairs), 2)
-        res = int(np.clip(np.ceil(np.log2(nseg) / 2) + 1, 3, cells.MAX_RES))
-    idx = PackedSegmentIndex.build(pairs, res)
-    bc = spark.sparkContext.broadcast(idx)
-
-    id_field = points_df.schema[id_col]
-    out_schema = T.StructType(
-        [
-            id_field,
-            T.StructField("neighbor_key", T.LongType()),
-            T.StructField("dist2", T.DoubleType()),
-            T.StructField("rank", T.IntegerType()),
-        ]
-    )
-    src = points_df.select(id_col, lon_col, lat_col).where(
-        F.col(lon_col).isNotNull() & F.col(lat_col).isNotNull()
-    )
-
-    def _map(batches):
-        index: PackedSegmentIndex = bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            qx = pdf[lon_col].to_numpy(dtype=np.float64)
-            qy = pdf[lat_col].to_numpy(dtype=np.float64)
-            qi, keys, d2, rank = knn_lines_batch(index, qx, qy, k, max_ring=max_ring)
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col].to_numpy()[qi],
-                    "neighbor_key": keys,
-                    "dist2": d2,
-                    "rank": rank.astype(np.int32),
-                }
-            )
-
-    return src.mapInPandas(_map, schema=out_schema)
 
 
 def knn_join(

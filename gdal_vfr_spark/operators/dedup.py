@@ -76,15 +76,31 @@ def with_minhash(
         md5 = hashlib.md5
         idx = np.arange(num_hashes, dtype=np.uint64)
         pnp = np.uint64(P)
+        # per-batch shingle->(a, b) cache: web text repeats shingles
+        # heavily across documents (500x on the fixture corpus, 5-20x
+        # on real crawl data), so hashing each DISTINCT shingle once
+        # per Arrow batch removes most of the md5 grind. Size-capped so
+        # a pathological batch can't blow executor memory.
+        cache: dict[str, tuple[int, int]] = {}
+
+        def ab_of(s: str) -> tuple[int, int]:
+            v = cache.get(s)
+            if v is None:
+                d = md5(s.encode()).digest()
+                v = (
+                    int.from_bytes(d[8:16], "big") % P,
+                    int.from_bytes(d[:8], "big") % P,
+                )
+                if len(cache) > 4_000_000:
+                    cache.clear()
+                cache[s] = v
+            return v
+
         for t in texts:
             t = t or ""
             upper = max(len(t) - shingle_n + 1, 1)
             shingles = {t[i : i + shingle_n] for i in range(upper)}
-            ab = np.empty((len(shingles), 2), dtype=np.uint64)
-            for j, s in enumerate(shingles):
-                d = md5(s.encode()).digest()
-                ab[j, 0] = int.from_bytes(d[8:16], "big") % P
-                ab[j, 1] = int.from_bytes(d[:8], "big") % P
+            ab = np.asarray([ab_of(s) for s in shingles], dtype=np.uint64)
             sig = ((ab[:, 0:1] + idx[None, :] * ab[:, 1:2]) % pnp).min(axis=0)
             out.append(sig.astype(np.int64).tolist())
         return pd.Series(out)

@@ -136,14 +136,27 @@ def lsh_bucketed_topk(
     tunable via n_planes (fewer planes = bigger buckets = higher
     recall/cost)."""
     planes = random_hyperplanes(dim, n_planes, seed)
-    c = corpus.select(id_col, vec_col).withColumn("bucket", srp_bucket_expr(vec_col, planes))
-    q = queries.select(query_id_col, query_vec_col).withColumn(
-        "bucket", srp_bucket_expr(query_vec_col, planes)
+    # norms precomputed per ROW before the join (bit-identical to the
+    # per-pair recomputation, but evaluated once per vector instead of
+    # once per candidate pair — the fold is interpreted, so this is the
+    # dominant cost at scale)
+    c = (
+        corpus.select(id_col, vec_col)
+        .withColumn("bucket", srp_bucket_expr(vec_col, planes))
+        .withColumn("__cn", norm_expr(F.col(vec_col)))
+    )
+    q = (
+        queries.select(query_id_col, query_vec_col)
+        .withColumn("bucket", srp_bucket_expr(query_vec_col, planes))
+        .withColumn("__qn", norm_expr(F.col(query_vec_col)))
     )
     scored = c.join(F.broadcast(q), on="bucket").select(
         F.col(query_id_col),
         F.col(id_col),
-        cosine_expr(F.col(vec_col), F.col(query_vec_col)).alias("cosine"),
+        (
+            dot_expr(F.col(vec_col), F.col(query_vec_col))
+            / (F.col("__cn") * F.col("__qn"))
+        ).alias("cosine"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return (
@@ -165,7 +178,14 @@ def cosine_near_dup_pairs(
     """Embedding near-duplicate pairs (id_a < id_b, cosine >= threshold)
     found within SRP buckets (blocked self-join, not O(n^2))."""
     planes = random_hyperplanes(dim, n_planes, seed)
-    keyed = df.select(id_col, vec_col).withColumn("bucket", srp_bucket_expr(vec_col, planes))
+    # per-row norm before the self-join: inside a bucket of size m each
+    # vector otherwise recomputes its norm fold m-1 times (bit-identical
+    # either way; cosine = dot / (na * nb) like near_dup_pairs_exact)
+    keyed = (
+        df.select(id_col, vec_col)
+        .withColumn("bucket", srp_bucket_expr(vec_col, planes))
+        .withColumn("__n", norm_expr(F.col(vec_col)))
+    )
     a, b = keyed.alias("a"), keyed.alias("b")
     return (
         a.join(b, on="bucket")
@@ -173,7 +193,10 @@ def cosine_near_dup_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            cosine_expr(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).alias("cosine"),
+            (
+                dot_expr(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+                / (F.col("a.__n") * F.col("b.__n"))
+            ).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
         .distinct()

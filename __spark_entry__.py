@@ -249,14 +249,19 @@ def _duck_quality_expr() -> str:
     all_stop = "[" + ", ".join(
         f"'{w}'" for lang in sorted(text_ops.STOPWORDS) for w in text_ops.STOPWORDS[lang]
     ) + "]"
-    return f"""round(
+    # rounding spelled out as floor(x*1e6 + 0.5)/1e6: engine round()
+    # built-ins diverge on true decimal halves (found at sf0.1,
+    # doc 1214: Spark 0.504688 vs DuckDB 0.504687); the explicit form
+    # runs the same float64 ops in both engines
+    return f"""(floor((
         0.4 * least(CAST(len(__toks) AS DOUBLE) / 100.0, 1.0)
       + 0.3 * (CASE WHEN len(__toks) > 0
                THEN CAST(len(list_filter(__toks, x -> list_contains({all_stop}, x))) AS DOUBLE)
                     / CAST(len(__toks) AS DOUBLE) ELSE 0.0 END)
       + 0.3 * (CASE WHEN length(text) > 0
                THEN CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
-                    / CAST(length(text) AS DOUBLE) ELSE 0.0 END), 6)"""
+                    / CAST(length(text) AS DOUBLE) ELSE 0.0 END)
+      ) * 1000000.0 + 0.5) / 1000000.0)"""
 
 
 def _duck_quality_sql(src: str = "documents") -> str:

@@ -49,8 +49,11 @@ def lang_id_expr(text) -> F.Column:
 def quality_score_expr(text) -> F.Column:
     """Deterministic quality heuristic in [0,1]:
     0.4*length_score + 0.3*stopword_ratio + 0.3*alpha_ratio, where
-    length_score saturates at 100 tokens. Round(6) for cross-engine
-    float stability."""
+    length_score saturates at 100 tokens. Rounded to 6 digits via an
+    EXPLICIT floor(x*1e6 + 0.5)/1e6 — engine round() built-ins diverge
+    on true decimal halves (Spark BigDecimal half-up on the shortest
+    repr vs DuckDB's multiply trick on the binary double); the explicit
+    form is the same float64 ops in both engines, so it is bit-stable."""
     t = F.col(text) if isinstance(text, str) else text
     toks = tokens_expr(t)
     n = F.size(toks).cast("double")
@@ -63,9 +66,8 @@ def quality_score_expr(text) -> F.Column:
     alpha = F.length(F.regexp_replace(F.lower(t), "[^a-z]", "")).cast("double")
     total = F.length(t).cast("double")
     alpha_ratio = F.when(total > 0, alpha / total).otherwise(F.lit(0.0))
-    return F.round(
-        F.lit(0.4) * length_score + F.lit(0.3) * stop_ratio + F.lit(0.3) * alpha_ratio, 6
-    )
+    raw = F.lit(0.4) * length_score + F.lit(0.3) * stop_ratio + F.lit(0.3) * alpha_ratio
+    return F.floor(raw * F.lit(1000000.0) + F.lit(0.5)).cast("double") / F.lit(1000000.0)
 
 
 def fingerprint_expr(text) -> F.Column:
@@ -120,9 +122,8 @@ def with_quality(df: DataFrame, text_col: str = "text", out_col: str = "quality"
     alpha = F.length(F.regexp_replace(F.lower(t), "[^a-z]", "")).cast("double")
     total = F.length(t).cast("double")
     alpha_ratio = F.when(total > 0, alpha / total).otherwise(F.lit(0.0))
-    score = F.round(
-        F.lit(0.4) * length_score + F.lit(0.3) * stop_ratio + F.lit(0.3) * alpha_ratio, 6
-    )
+    raw = F.lit(0.4) * length_score + F.lit(0.3) * stop_ratio + F.lit(0.3) * alpha_ratio
+    score = F.floor(raw * F.lit(1000000.0) + F.lit(0.5)).cast("double") / F.lit(1000000.0)
     return out.withColumn(out_col, score).drop("__toks", "__n")
 
 

@@ -66,6 +66,9 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # filter-free MAX/MIN/COUNT (A5-style sequence resync) answered
+        # from parquet footers instead of scanning row groups
+        .config("spark.sql.parquet.aggregatePushdown", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -192,3 +192,42 @@ def test_nearest_street_matches_ulice_fk(spark):
     n = am.where("lon is not null").count()
     assert joined.count() == n
     assert joined.where(F.col("neighbor_key") != F.col("ulice_kod")).count() == 0
+
+
+def test_point_seg_dist2_properties():
+    """Property-based invariants of the clamped-projection distance:
+    never exceeds either endpoint distance, symmetric under endpoint
+    swap, ~0 for points ON the segment, and degenerate segments reduce
+    to point distance."""
+    from hypothesis import given, settings, strategies as st
+
+    from gdal_vfr_spark.geo.knn import _point_seg_dist2
+
+    coords = st.floats(min_value=-100, max_value=100, allow_nan=False, width=64)
+
+    @given(coords, coords, coords, coords, coords, coords, st.floats(0, 1, width=64))
+    @settings(max_examples=300, deadline=None)
+    def run(qx, qy, x1, y1, x2, y2, t):
+        d = float(_point_seg_dist2(
+            np.float64(qx), np.float64(qy),
+            np.float64(x1), np.float64(y1), np.float64(x2), np.float64(y2)))
+        d_end = min((qx - x1) ** 2 + (qy - y1) ** 2, (qx - x2) ** 2 + (qy - y2) ** 2)
+        scale = 1.0 + max(abs(v) for v in (qx, qy, x1, y1, x2, y2)) ** 2
+        assert d <= d_end + 1e-9 * scale
+        d_swap = float(_point_seg_dist2(
+            np.float64(qx), np.float64(qy),
+            np.float64(x2), np.float64(y2), np.float64(x1), np.float64(y1)))
+        assert abs(d - d_swap) <= 1e-9 * scale
+        # a point constructed ON the segment is at ~zero distance
+        px, py = x1 + t * (x2 - x1), y1 + t * (y2 - y1)
+        d_on = float(_point_seg_dist2(
+            np.float64(px), np.float64(py),
+            np.float64(x1), np.float64(y1), np.float64(x2), np.float64(y2)))
+        assert d_on <= 1e-12 * scale
+        # degenerate segment == point distance
+        d_deg = float(_point_seg_dist2(
+            np.float64(qx), np.float64(qy),
+            np.float64(x1), np.float64(y1), np.float64(x1), np.float64(y1)))
+        assert d_deg == (qx - x1) ** 2 + (qy - y1) ** 2
+
+    run()

@@ -417,6 +417,52 @@ def _duck_srp_near_dup_sql(threshold: float = 0.4, n_planes: int = 4, dim: int =
     """
 
 
+def _duck_srp_topk_sql(k: int = 3, n_queries: int = 5, n_planes: int = 8, dim: int = 64) -> str:
+    """Twin of similarity.lsh_bucketed_topk: same seeded hyperplanes
+    (repr round-trips the exact double), same MSB-first sign-bit bucket,
+    same sequential-fold cosine — the approximate result set is a
+    deterministic function of those constants, so it IS exactly
+    checkable even though the algorithm is approximate."""
+    from gdal_vfr_spark.operators.similarity import random_hyperplanes
+
+    planes = random_hyperplanes(dim, n_planes)
+
+    def dot_const(v: str, const: list[float]) -> str:
+        arr = "[" + ", ".join(repr(float(x)) for x in const) + "]"
+        return (
+            f"list_reduce(list_prepend(0.0, list_transform(list_zip({v}, CAST({arr} AS DOUBLE[])),"
+            " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (x, y) -> x + y)"
+        )
+
+    bits = " + ".join(
+        f"(CASE WHEN ({dot_const('embedding', p)}) >= 0 THEN {1 << (n_planes - 1 - i)} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    pair_dot = (
+        "list_reduce(list_prepend(0.0, list_transform(list_zip(e.embedding, q.embedding),"
+        " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (x, y) -> x + y)"
+    )
+    norm = (
+        "sqrt(list_reduce(list_prepend(0.0, list_transform({v},"
+        " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (x, y) -> x + y))"
+    )
+    return f"""
+    WITH bk AS (
+      SELECT vec_id, embedding, {bits} AS bucket FROM embeddings
+    ), scored AS (
+      SELECT q.vec_id AS query_id, e.vec_id,
+        ({pair_dot}) / ({norm.format(v='e.embedding')} * {norm.format(v='q.embedding')}) AS cosine
+      FROM bk e JOIN bk q ON e.bucket = q.bucket
+      WHERE q.vec_id < {n_queries}
+    )
+    SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT query_id, vec_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= {k} ORDER BY query_id, rank
+    """
+
+
 # --------------------------------------------------------------------------
 # Spark query callables
 # --------------------------------------------------------------------------
@@ -1244,18 +1290,20 @@ def q_ann_topk(spark, sf_dir):
     return out.select("query_id", "vec_id", F.col("rank").cast("long").alias("rank")).orderBy("query_id", "rank")
 
 
-# ------------------------- no-oracle (rows-only) --------------------------
-
-
 def q_ann_lsh_topk(spark, sf_dir):
-    """Approximate SRP-LSH top-k (scale path) — approximate by design,
-    so no SQL oracle; driver records rows-only."""
+    """Approximate SRP-LSH top-k (scale path). Approximate vs the true
+    top-k, but a DETERMINISTIC function of the seeded hyperplane
+    constants — the DuckDB twin regenerates the same sign-bit buckets
+    from the same literals, so the result is exactly checkable (recall
+    vs `ann_topk` is additionally pinned in test_dedup_text.py)."""
     emb = _read(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return similarity.lsh_bucketed_topk(emb, q, k=3, dim=64).select(
-        "query_id", "vec_id", "rank"
+    return (
+        similarity.lsh_bucketed_topk(emb, q, k=3, dim=64)
+        .select("query_id", "vec_id", F.col("rank").cast("long").alias("rank"))
+        .orderBy("query_id", "rank")
     )
 
 
@@ -1803,6 +1851,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1 ORDER BY batch_date
         """,
         "ann_topk": _duck_cosine_topk_sql() + " ORDER BY query_id, rank",
+        "ann_lsh_topk": _duck_srp_topk_sql(),
         "embedding_near_dup_exact": """
             WITH scored AS (
               SELECT a.vec_id AS id_a, b.vec_id AS id_b,

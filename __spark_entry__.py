@@ -463,6 +463,90 @@ def _duck_srp_topk_sql(k: int = 3, n_queries: int = 5, n_planes: int = 8, dim: i
     """
 
 
+def _duck_ivf_topk_sql(
+    k: int = 3,
+    n_queries: int = 5,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    n_iter: int = 2,
+    dim: int = 64,
+) -> str:
+    """Twin of similarity.ivf_topk: the Lloyd iterations are unrolled
+    as CTEs. Cross-engine exactness holds because (a) centroid means
+    are FIXED-POINT — sum(floor(x*2^20)) as bigint is order-free, so
+    the partition-order-dependent float-sum problem never arises —
+    and (b) every distance/cosine is the same sequential left fold in
+    float64 both engines already agree on (ann_topk)."""
+    scale = "1048576.0"  # 2^20, matches similarity.QUANT_SCALE
+
+    def dist(v: str, c: str) -> str:
+        return (
+            f"list_reduce(list_prepend(0.0, list_transform(list_zip({v}, {c}),"
+            " p -> (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2]))),"
+            " (x, y) -> x + y)"
+        )
+
+    sums = ", ".join(
+        f"sum(CAST(floor(CAST(embedding[{i + 1}] AS DOUBLE) * {scale}) AS BIGINT)) AS s{i}"
+        for i in range(dim)
+    )
+    mean_list = "[" + ", ".join(
+        f"CAST(u.s{i} AS DOUBLE) / (CAST(u.cnt AS DOUBLE) * {scale})" for i in range(dim)
+    ) + "]"
+    ctes = [
+        f"""c0 AS (
+      SELECT CAST(vec_id AS INT) AS cid,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
+      FROM embeddings WHERE vec_id < {n_centroids})"""
+    ]
+    for t in range(1, n_iter + 1):
+        ctes.append(f"""a{t} AS (
+      SELECT vec_id, embedding, cid FROM (
+        SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {dist('e.embedding', 'c.c')}, c.cid) AS rn
+        FROM embeddings e CROSS JOIN c{t - 1} c
+      ) WHERE rn = 1)""")
+        ctes.append(f"u{t} AS (SELECT cid, count(*) AS cnt, {sums} FROM a{t} GROUP BY cid)")
+        ctes.append(f"""c{t} AS (
+      SELECT p.cid, CASE WHEN u.cid IS NULL THEN p.c ELSE {mean_list} END AS c
+      FROM c{t - 1} p LEFT JOIN u{t} u ON p.cid = u.cid)""")
+    cf = f"c{n_iter}"
+    norm = (
+        "sqrt(list_reduce(list_prepend(0.0, list_transform({v},"
+        " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (x, y) -> x + y))"
+    )
+    pair_dot = (
+        "list_reduce(list_prepend(0.0, list_transform(list_zip(af.embedding, qp.qv),"
+        " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (x, y) -> x + y)"
+    )
+    ctes.append(f"""af AS (
+      SELECT vec_id, embedding, cid FROM (
+        SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {dist('e.embedding', 'c.c')}, c.cid) AS rn
+        FROM embeddings e CROSS JOIN {cf} c
+      ) WHERE rn = 1)""")
+    ctes.append(f"""qp AS (
+      SELECT query_id, qv, cid FROM (
+        SELECT q.vec_id AS query_id, q.embedding AS qv, c.cid,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY {dist('q.embedding', 'c.c')}, c.cid) AS rn
+        FROM embeddings q CROSS JOIN {cf} c WHERE q.vec_id < {n_queries}
+      ) WHERE rn <= {nprobe})""")
+    ctes.append(f"""scored AS (
+      SELECT qp.query_id, af.vec_id,
+        ({pair_dot}) / ({norm.format(v='af.embedding')} * {norm.format(v='qp.qv')}) AS cosine
+      FROM af JOIN qp ON af.cid = qp.cid)""")
+    return "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT query_id, vec_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= {k} ORDER BY query_id, rank
+    """
+
+
 # --------------------------------------------------------------------------
 # Spark query callables
 # --------------------------------------------------------------------------
@@ -1307,6 +1391,24 @@ def q_ann_lsh_topk(spark, sf_dir):
     )
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF approximate top-k (the partition-pruning scale path beyond
+    SRP buckets): deterministic fixed-point k-means coarse quantizer,
+    nprobe=2 of 8 cells probed per query. Exact oracle: the DuckDB
+    twin unrolls the same two Lloyd iterations — fixed-point centroid
+    sums are order-free, so both engines compute bit-identical
+    centroids, assignments, and ranks."""
+    emb = _read(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return (
+        similarity.ivf_topk(emb, q, k=3, n_centroids=8, nprobe=2, n_iter=2, dim=64)
+        .select("query_id", "vec_id", F.col("rank").cast("long").alias("rank"))
+        .orderBy("query_id", "rank")
+    )
+
+
 def q_multimodal_meta(spark, sf_dir):
     """Binary-column plumbing (decode stubbed — no codec libs): size +
     md5 content-hash metadata via mapInPandas. EXACT oracle: the fake
@@ -1474,14 +1576,29 @@ def q_f5_key_synthesis(spark, sf_dir):
 
 
 def q_dedup_representatives(spark, sf_dir):
-    """Representative selection after LSH dedup: ids kept (min-id rule,
-    transitive collapse)."""
+    """Representative selection after LSH dedup: ids kept under the
+    greedy drop-larger-id-per-pair rule (the standard web-pipeline
+    policy; see `dedup_cc` for the true transitive collapse)."""
     docs = _read(spark, sf_dir, "documents")
     pairs = dedup.minhash_lsh_pairs(docs, num_hashes=16, bands=8).where(
         F.col("jaccard_est") >= 0.5
     )
     kept = dedup.dedup_keep_representatives(docs, pairs)
     return kept.select("doc_id").orderBy("doc_id")
+
+
+def q_dedup_cc(spark, sf_dir):
+    """Connected components over the near-dup pair graph: every doc
+    labeled with the min doc_id transitively reachable through LSH
+    pairs (singletons map to themselves). Iterative min-label
+    propagation, one shuffle per round; DuckDB twin = recursive CTE
+    transitive closure over the identical pair set."""
+    docs = _read(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, num_hashes=16, bands=8).where(
+        F.col("jaccard_est") >= 0.5
+    )
+    out = dedup.assign_components(docs.select("doc_id"), pairs)
+    return out.select("doc_id", "component").orderBy("doc_id")
 
 
 def q_asof_join(spark, sf_dir):
@@ -1572,6 +1689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "embedding_near_dup_exact": q_embedding_near_dup_exact,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_frames": q_multimodal_frames,
         "embedding_near_dup": q_embedding_near_dup,
@@ -1583,6 +1701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m3_merge_state": q_m3_merge_state,
         "f5_key_synthesis": q_f5_key_synthesis,
         "dedup_representatives": q_dedup_representatives,
+        "dedup_cc": q_dedup_cc,
         "asof_join": q_asof_join,
     }
 
@@ -1852,6 +1971,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_topk": _duck_cosine_topk_sql() + " ORDER BY query_id, rank",
         "ann_lsh_topk": _duck_srp_topk_sql(),
+        "ann_ivf_topk": _duck_ivf_topk_sql(),
         "embedding_near_dup_exact": """
             WITH scored AS (
               SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -1934,6 +2054,24 @@ def oracle_sql() -> dict[str, str]:
             victims AS (SELECT DISTINCT id_b FROM mh WHERE jaccard_est >= 0.5)
             SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT id_b FROM victims)
             ORDER BY doc_id
+        """,
+        "dedup_cc": f"""
+            WITH RECURSIVE mh AS ({_duck_minhash_sql()}),
+            p AS (SELECT id_a, id_b FROM mh WHERE jaccard_est >= 0.5),
+            edges AS (SELECT id_a AS src, id_b AS dst FROM p
+                      UNION SELECT id_b, id_a FROM p),
+            reach(src, dst) AS (
+              SELECT src, dst FROM edges
+              UNION
+              SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+            ),
+            lab AS (
+              SELECT src AS node, least(src, min(dst)) AS component
+              FROM reach GROUP BY src
+            )
+            SELECT d.doc_id, coalesce(l.component, d.doc_id) AS component
+            FROM documents d LEFT JOIN lab l ON d.doc_id = l.node
+            ORDER BY d.doc_id
         """,
         "embedding_near_dup": _duck_srp_near_dup_sql(),
         "s4_formats": """

@@ -338,6 +338,82 @@ def simhash_near_pairs(
     return pairs
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    node_col: str = "node",
+    label_col: str = "component",
+    max_iter: int = 25,
+) -> DataFrame:
+    """True transitive collapse of the near-dup pair graph: every node
+    that appears in any pair, labeled with the MINIMUM id reachable
+    through any chain of pairs (the component id). This is the
+    guarantee `dedup_keep_representatives`' greedy per-pair rule does
+    NOT give (a star (1,5),(3,5) greedily keeps both 1 and 3).
+
+    Iterative min-label propagation: each round joins labels to the
+    symmetric edge list and takes the min over neighbors — one shuffle
+    per round, converging in O(component diameter) rounds. Near-dup
+    clusters in web corpora have tiny diameters (dups of a page are
+    dups of each other), so rounds stay in the low single digits; for
+    adversarial long-chain graphs swap in alternating large-star/
+    small-star (same join shape per round, O(log n) rounds total).
+    Lineage is cut per round with localCheckpoint so the plan doesn't
+    grow superlinearly; the driver-side loop only ever collects a
+    scalar convergence count."""
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for _ in range(max_iter):
+        nb_min = (
+            edges.join(
+                labels.select(F.col("node").alias("dst"), F.col("label").alias("dl")),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("dl").alias("nb_label"))
+        )
+        stepped = labels.join(
+            nb_min.select(F.col("src").alias("node"), "nb_label"), "node", "left"
+        ).select(
+            "node",
+            "label",
+            F.least(F.col("label"), F.coalesce("nb_label", "label")).alias("new_label"),
+        )
+        changed = stepped.where(F.col("new_label") < F.col("label")).count()
+        labels = stepped.select(
+            "node", F.col("new_label").alias("label")
+        ).localCheckpoint()
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node").alias(node_col), F.col("label").alias(label_col))
+
+
+def assign_components(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    label_col: str = "component",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Full doc_id -> component mapping: paired docs get their
+    connected-component min-id, unpaired docs are their own singleton
+    component. The component column is the canonical group-by key for
+    cluster-level policies (keep-one, keep-best-quality, ...)."""
+    cc = connected_components(pairs, node_col=id_col, label_col=label_col, max_iter=max_iter)
+    return df.join(cc, id_col, "left").withColumn(
+        label_col, F.coalesce(F.col(label_col), F.col(id_col))
+    )
+
+
 def dedup_keep_representatives(
     df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:

@@ -166,6 +166,178 @@ def lsh_bucketed_topk(
     )
 
 
+QUANT_SCALE = 1 << 20  # fixed-point centroid quantum (see kmeans_centroids)
+
+
+def _assign_expr(vec_col, centroids: list[tuple[int, list[float]]]) -> F.Column:
+    """Nearest-centroid id as a pure projection: fold over a literal
+    array of (cid, vector) structs, tracking the min squared-L2
+    distance (strict < keeps the SMALLEST cid on exact ties). No
+    shuffle, no Python — IVF assignment is embarrassingly parallel and
+    must stay map-side at 10^12 vectors."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(int(cid)).alias("cid"),
+                F.array(*[F.lit(float(x)) for x in vec]).alias("c"),
+            )
+            for cid, vec in centroids
+        ]
+    )
+
+    def step(acc, e):
+        d = F.aggregate(
+            F.zip_with(
+                v,
+                e["c"],
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda a, t: a + t,
+        )
+        return F.when(
+            d < acc["d"], F.struct(d.alias("d"), e["cid"].alias("cid"))
+        ).otherwise(acc)
+
+    init = F.struct(
+        F.lit(float("inf")).alias("d"), F.lit(-1).alias("cid")
+    )
+    return F.aggregate(arr, init, step)["cid"]
+
+
+def _centroid_dists(vec_col, centroids: list[tuple[int, list[float]]]):
+    """(cid, squared-L2 dist) pairs to every centroid, as literal-array
+    explode fodder for the query-side nprobe selection."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return F.array(
+        *[
+            F.struct(
+                F.lit(int(cid)).alias("cid"),
+                F.aggregate(
+                    F.zip_with(
+                        v,
+                        F.array(*[F.lit(float(x)) for x in vec]),
+                        lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                    ),
+                    F.lit(0.0),
+                    lambda a, t: a + t,
+                ).alias("d"),
+            )
+            for cid, vec in centroids
+        ]
+    )
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> list[tuple[int, list[float]]]:
+    """Deterministic Lloyd's k-means for the IVF coarse quantizer.
+
+    Init = the k smallest-id vectors (deterministic, SQL-replicable).
+    Each iteration: map-side nearest-centroid assignment (fold over
+    literal centroids, no shuffle), then ONE partial+final aggregation
+    keyed by cid. Centroid means use FIXED-POINT sums —
+    sum(floor(x * 2^20)) as bigint — because float summation order is
+    partition-dependent; integer sums are exact and order-free, so the
+    result is bit-identical across partitionings AND engines (the
+    DuckDB oracle unrolls the same iterations). The ~1e-6 quantization
+    is irrelevant to a coarse quantizer. Collecting k*(dim+1) numbers
+    per round to the driver is the standard distributed-kmeans shape
+    (k=4096, dim=1024 is still <50 MB at 100 TB corpus scale).
+    Empty clusters keep their previous centroid."""
+    seeds = (
+        corpus.where(F.col(id_col) < k)
+        .select(F.col(id_col).cast("int").alias("cid"), vec_col)
+        .orderBy("cid")
+        .collect()
+    )
+    cents = [(int(r["cid"]), [float(x) for x in r[vec_col]]) for r in seeds]
+    scale = float(QUANT_SCALE)
+    sums = [
+        F.sum(
+            F.floor(F.element_at(F.col(vec_col), i + 1).cast("double") * F.lit(scale))
+        ).alias(f"s{i}")
+        for i in range(dim)
+    ]
+    for _ in range(n_iter):
+        got = {
+            int(r["cid"]): r
+            for r in corpus.select(vec_col)
+            .withColumn("cid", _assign_expr(vec_col, cents))
+            .groupBy("cid")
+            .agg(F.count("*").alias("cnt"), *sums)
+            .collect()
+        }
+        cents = [
+            (
+                cid,
+                [got[cid][f"s{i}"] / (got[cid]["cnt"] * scale) for i in range(dim)]
+                if cid in got
+                else old,
+            )
+            for cid, old in cents
+        ]
+    return cents
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    n_iter: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: k-means coarse quantizer,
+    corpus partitioned by nearest centroid, queries probe only their
+    nprobe nearest cells. vs SRP-LSH: recall degrades gracefully with
+    nprobe instead of cliffing on bucket boundaries, and the cell
+    assignment doubles as the physical partitioning key at scale
+    (write corpus partitioned/bucketed by cid -> probe = partition
+    pruning, scanning nprobe/n_centroids of the data)."""
+    cents = kmeans_centroids(corpus, n_centroids, n_iter, id_col, vec_col, dim)
+    assigned = corpus.select(id_col, vec_col).withColumn(
+        "cid", _assign_expr(vec_col, cents)
+    ).withColumn("__cn", norm_expr(F.col(vec_col)))
+    probes = (
+        queries.select(query_id_col, query_vec_col)
+        .withColumn("cd", F.explode(_centroid_dists(query_vec_col, cents)))
+        .select(query_id_col, query_vec_col, F.col("cd.cid").alias("cid"), F.col("cd.d").alias("d"))
+    )
+    wp = Window.partitionBy(query_id_col).orderBy(F.asc("d"), F.asc("cid"))
+    probes = (
+        probes.withColumn("pr", F.row_number().over(wp))
+        .where(F.col("pr") <= nprobe)
+        .drop("pr", "d")
+        .withColumn("__qn", norm_expr(F.col(query_vec_col)))
+    )
+    scored = assigned.join(F.broadcast(probes), on="cid").select(
+        F.col(query_id_col),
+        F.col(id_col),
+        (
+            dot_expr(F.col(vec_col), F.col(query_vec_col))
+            / (F.col("__cn") * F.col("__qn"))
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
 def cosine_near_dup_pairs(
     df: DataFrame,
     threshold: float,

@@ -68,6 +68,59 @@ def test_dedup_keep_representatives(spark, docs):
     assert {4, 5, 6, 7} <= ids
 
 
+def test_connected_components_star_and_chain(spark):
+    # star (1,5),(3,5): greedy keeps both 1 and 3; CC must collapse all
+    # three to component 1. chain (10,11),(11,12),(12,13): all -> 10
+    # (needs >1 propagation round). (20,21) isolated pair -> 20.
+    pdf = pd.DataFrame(
+        [(1, 5), (3, 5), (10, 11), (11, 12), (12, 13), (20, 21)],
+        columns=["id_a", "id_b"],
+    )
+    pairs = spark.createDataFrame(pdf)
+    got = {
+        r["node"]: r["component"]
+        for r in dedup.connected_components(pairs, node_col="node").collect()
+    }
+    assert got == {1: 1, 3: 1, 5: 1, 10: 10, 11: 10, 12: 10, 13: 10, 20: 20, 21: 20}
+
+
+def test_assign_components_includes_singletons(spark, docs):
+    pairs = dedup.minhash_lsh_pairs(docs, num_hashes=16, bands=8).where(
+        F.col("jaccard_est") >= 0.5
+    )
+    out = {
+        r["doc_id"]: r["component"]
+        for r in dedup.assign_components(docs.select("doc_id"), pairs).collect()
+    }
+    assert set(out) == {1, 2, 3, 4, 5, 6, 7}  # every doc labeled
+    assert out[1] == out[2] == out[3] == 1  # near-dup cluster collapsed
+    assert out[4] == 4 and out[6] == 6 and out[7] == 7  # singletons
+
+
+def test_ivf_topk_recall_and_partition_invariance(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in similarity.brute_force_topk(emb, q, k=3).collect()
+    }
+    got = similarity.ivf_topk(emb, q, k=3).collect()
+    ivf = {(r["query_id"], r["vec_id"]) for r in got}
+    assert len(ivf) == 15  # 3 per query
+    assert len(exact & ivf) / len(exact) >= 0.6  # probes 2/8 cells
+    # rank 1 must be the query itself (it is in the corpus, cosine 1.0,
+    # and its own cell is always probed first)
+    r1 = {r["query_id"]: r["vec_id"] for r in got if r["rank"] == 1}
+    assert r1 == {i: i for i in range(5)}
+    # fixed-point centroid sums => identical centroids under ANY
+    # partitioning (float sums would differ in the last ulp)
+    c1 = similarity.kmeans_centroids(emb, k=8, n_iter=2)
+    c2 = similarity.kmeans_centroids(emb.repartition(13), k=8, n_iter=2)
+    assert c1 == c2
+
+
 def test_text_analyze(spark, docs):
     out = {r["doc_id"]: r for r in text.analyze(docs).collect()}
     assert out[1]["lang_pred"] == "en"

@@ -1391,6 +1391,29 @@ def q_ann_lsh_topk(spark, sf_dir):
     )
 
 
+def q_dedup_keep_best(spark, sf_dir):
+    """Cluster-level representative policy: within each near-dup
+    connected component keep the HIGHEST-QUALITY document (ties to the
+    smaller doc_id) — what a production crawl pipeline actually does,
+    vs the min-id convention. Composes quality scoring, LSH pairs, and
+    connected components; one window over the component key."""
+    docs = _read(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, num_hashes=16, bands=8).where(
+        F.col("jaccard_est") >= 0.5
+    )
+    scored = text_ops.with_quality(docs.select("doc_id", "text")).select(
+        "doc_id", "quality"
+    )
+    comp = dedup.assign_components(scored, pairs)
+    w = Window.partitionBy("component").orderBy(F.desc("quality"), F.asc("doc_id"))
+    return (
+        comp.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("component", "doc_id", "quality")
+        .orderBy("component")
+    )
+
+
 def q_ann_ivf_topk(spark, sf_dir):
     """IVF approximate top-k (the partition-pruning scale path beyond
     SRP buckets): deterministic fixed-point k-means coarse quantizer,
@@ -1702,6 +1725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f5_key_synthesis": q_f5_key_synthesis,
         "dedup_representatives": q_dedup_representatives,
         "dedup_cc": q_dedup_cc,
+        "dedup_keep_best": q_dedup_keep_best,
         "asof_join": q_asof_join,
     }
 
@@ -2054,6 +2078,32 @@ def oracle_sql() -> dict[str, str]:
             victims AS (SELECT DISTINCT id_b FROM mh WHERE jaccard_est >= 0.5)
             SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT id_b FROM victims)
             ORDER BY doc_id
+        """,
+        "dedup_keep_best": f"""
+            WITH RECURSIVE mh AS ({_duck_minhash_sql()}),
+            p AS (SELECT id_a, id_b FROM mh WHERE jaccard_est >= 0.5),
+            edges AS (SELECT id_a AS src, id_b AS dst FROM p
+                      UNION SELECT id_b, id_a FROM p),
+            reach(src, dst) AS (
+              SELECT src, dst FROM edges
+              UNION
+              SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+            ),
+            lab AS (
+              SELECT src AS node, least(src, min(dst)) AS component
+              FROM reach GROUP BY src
+            ),
+            q AS ({_duck_quality_sql()}),
+            fulls AS (
+              SELECT q.doc_id, coalesce(l.component, q.doc_id) AS component, q.quality
+              FROM q LEFT JOIN lab l ON q.doc_id = l.node
+            )
+            SELECT component, doc_id, quality FROM (
+              SELECT component, doc_id, quality,
+                     row_number() OVER (PARTITION BY component
+                       ORDER BY quality DESC, doc_id ASC) AS rn
+              FROM fulls
+            ) WHERE rn = 1 ORDER BY component
         """,
         "dedup_cc": f"""
             WITH RECURSIVE mh AS ({_duck_minhash_sql()}),

@@ -54,6 +54,7 @@ HEADLINE = [
     "geo_knn_lines",
     "geo_pip_hierarchy3",
     "embedding_near_dup",
+    "ann_ivf_topk",
 ]
 
 SPATIAL_N = int(os.environ.get("SPARK_GRAFT_BENCH_N", 40_000_000))
@@ -181,18 +182,30 @@ def main() -> None:
     qs = entrymod.queries()
     timings: dict[str, float] = {}
     for name in HEADLINE:
+        # drop leftover persists from PREVIOUS queries: the suite
+        # otherwise accumulates cached relations until the store starts
+        # evicting, and an evicted signature cache turns a 2.7s minhash
+        # run into 4-8s depending on suite order — each query should be
+        # measured with ITS OWN warm cache only
+        spark.catalog.clearCache()
         # FULL warmup run (JIT, codegen, python-worker pool, eager
-        # caches), then best-of-2 measured runs — the same steady-state
-        # min protocol as the spatial bench; this shared host's noisy
-        # neighbors inflate single runs up to 10x without warning
+        # caches), then measured runs until the min is CONFIRMED by a
+        # second run within 30% (up to 5 runs) — plain best-of-2 is
+        # defeated by this shared host's sustained load spikes (a
+        # noisy-neighbor window once inflated a 0.9s query to 29s for
+        # both of its runs); confirmation forces at least one
+        # measurement from outside the spike
         _materialize(qs[name](spark, sf_dir))
-        best = None
-        for _ in range(2):
+        times: list[float] = []
+        for _ in range(5):
             t0 = time.time()
             _materialize(qs[name](spark, sf_dir))
-            dt = time.time() - t0
-            best = dt if best is None or dt < best else best
-        timings[name] = round(best, 3)
+            times.append(time.time() - t0)
+            if len(times) >= 2:
+                lo1, lo2 = sorted(times)[:2]
+                if lo2 <= lo1 * 1.3:
+                    break
+        timings[name] = round(min(times), 3)
     total = round(sum(timings.values()), 3)
     spark.stop()
 

@@ -362,9 +362,18 @@ def connected_components(
     Lineage is cut per round with localCheckpoint so the plan doesn't
     grow superlinearly; the driver-side loop only ever collects a
     scalar convergence count."""
+    # symmetrize with ONE scan of pairs (explode, not union: the pairs
+    # plan is usually an un-cached LSH join — a union would run it twice)
     edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(id_a).alias("src"), F.col(id_b).alias("dst")),
+                    F.struct(F.col(id_b).alias("src"), F.col(id_a).alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
         .distinct()
         .persist()
     )

@@ -119,6 +119,15 @@ def test_ivf_topk_recall_and_partition_invariance(spark):
     c1 = similarity.kmeans_centroids(emb, k=8, n_iter=2)
     c2 = similarity.kmeans_centroids(emb.repartition(13), k=8, n_iter=2)
     assert c1 == c2
+    # Arrow fast path == pure-Catalyst fold, bit-for-bit (the Arrow
+    # UDF accumulates per-dim in fold order, so this is exact equality)
+    c3 = similarity.kmeans_centroids(emb, k=8, n_iter=2, use_expr=True)
+    assert c1 == c3
+    expr_topk = sorted(
+        (r["query_id"], r["vec_id"], r["rank"])
+        for r in similarity.ivf_topk(emb, q, k=3, use_expr=True).collect()
+    )
+    assert expr_topk == sorted((r["query_id"], r["vec_id"], r["rank"]) for r in got)
 
 
 def test_text_analyze(spark, docs):

@@ -393,9 +393,13 @@ def ivf_topk(
         if use_expr
         else _assign_arrow_udf(cents)(F.col(vec_col))
     )
-    assigned = corpus.select(id_col, vec_col).withColumn("cid", assign_col).withColumn(
-        "__cn", norm_expr(F.col(vec_col))
-    )
+    # coalesce makes the join key provably non-nullable (the UDF never
+    # returns null anyway): without it Catalyst inserts IsNotNull(cid)
+    # under the probe join and evaluates the Arrow assignment TWICE —
+    # once for the filter, once for the output (two full corpus passes)
+    assigned = corpus.select(id_col, vec_col).withColumn(
+        "cid", F.coalesce(assign_col, F.lit(-1))
+    ).withColumn("__cn", norm_expr(F.col(vec_col)))
     if use_expr:
         probes = (
             queries.select(query_id_col, query_vec_col)

@@ -1432,6 +1432,28 @@ def q_ann_ivf_topk(spark, sf_dir):
     )
 
 
+def q_ann_ivf_indexed(spark, sf_dir):
+    """IVF SERVING path: corpus written as a cid-partitioned parquet
+    layout, probe = statically partition-pruned scan of nprobe cells
+    (PartitionFilters in the plan — asserted in pytest). Same result
+    set as ann_ivf_topk, so it shares that oracle."""
+    import tempfile
+
+    emb = _read(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    path = os.path.join(
+        tempfile.gettempdir(), f"ivf_idx_{spark.sparkContext.applicationId}"
+    )
+    cents = similarity.write_ivf_index(emb, path)
+    return (
+        similarity.ivf_topk_indexed(spark, path, cents, q, k=3, nprobe=2)
+        .select("query_id", "vec_id", F.col("rank").cast("long").alias("rank"))
+        .orderBy("query_id", "rank")
+    )
+
+
 def q_multimodal_meta(spark, sf_dir):
     """Binary-column plumbing (decode stubbed — no codec libs): size +
     md5 content-hash metadata via mapInPandas. EXACT oracle: the fake
@@ -1713,6 +1735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_exact": q_embedding_near_dup_exact,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivf_indexed": q_ann_ivf_indexed,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_frames": q_multimodal_frames,
         "embedding_near_dup": q_embedding_near_dup,
@@ -1996,6 +2019,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": _duck_cosine_topk_sql() + " ORDER BY query_id, rank",
         "ann_lsh_topk": _duck_srp_topk_sql(),
         "ann_ivf_topk": _duck_ivf_topk_sql(),
+        "ann_ivf_indexed": _duck_ivf_topk_sql(),
         "embedding_near_dup_exact": """
             WITH scored AS (
               SELECT a.vec_id AS id_a, b.vec_id AS id_b,

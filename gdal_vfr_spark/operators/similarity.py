@@ -438,6 +438,71 @@ def ivf_topk(
     )
 
 
+def write_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    n_centroids: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> list[tuple[int, list[float]]]:
+    """Materialize the IVF index as a cid-partitioned parquet layout:
+    one directory per coarse cell. This is THE scale story for IVF
+    serving — a probe reads nprobe/n_centroids of the data as a
+    partition-pruned scan (PartitionFilters in the plan), no shuffle,
+    no full-corpus pass. Returns the centroids (persist them next to
+    the index in production). Per-row norms are precomputed into the
+    layout so serving never re-folds them."""
+    cents = kmeans_centroids(corpus, n_centroids, n_iter, id_col, vec_col, dim)
+    assigned = corpus.select(id_col, vec_col).withColumn(
+        "cid", F.coalesce(_assign_arrow_udf(cents)(F.col(vec_col)), F.lit(-1))
+    ).withColumn("__cn", norm_expr(F.col(vec_col)))
+    assigned.write.mode("overwrite").partitionBy("cid").parquet(path)
+    return cents
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    cents: list[tuple[int, list[float]]],
+    queries: DataFrame,
+    k: int = 3,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Serve top-k from a write_ivf_index layout with STATIC partition
+    pruning: the (tiny) query side's probe cells are collected to a
+    literal isin filter, so the scan touches only those cid=...
+    directories — the plan shows PartitionFilters [cid IN (...)] and
+    the other cells are never read. Results are identical to ivf_topk
+    given the same centroids (pinned by test)."""
+    probes = queries.select(query_id_col, query_vec_col).withColumn(
+        "cid", F.explode(_probe_arrow_udf(cents, nprobe)(F.col(query_vec_col)))
+    ).withColumn("__qn", norm_expr(F.col(query_vec_col)))
+    probe_cids = sorted(
+        {int(r["cid"]) for r in probes.select("cid").distinct().collect()}
+    )
+    idx = spark.read.parquet(path).where(F.col("cid").isin(probe_cids))
+    scored = idx.join(F.broadcast(probes), on="cid").select(
+        F.col(query_id_col),
+        F.col(id_col),
+        (
+            dot_expr(F.col(vec_col), F.col(query_vec_col))
+            / (F.col("__cn") * F.col("__qn"))
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
 def cosine_near_dup_pairs(
     df: DataFrame,
     threshold: float,

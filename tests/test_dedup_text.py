@@ -130,6 +130,24 @@ def test_ivf_topk_recall_and_partition_invariance(spark):
     assert expr_topk == sorted((r["query_id"], r["vec_id"], r["rank"]) for r in got)
 
 
+def test_ivf_indexed_prunes_partitions(spark, tmp_path):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    path = str(tmp_path / "ivf_idx")
+    cents = similarity.write_ivf_index(emb, path)
+    served = similarity.ivf_topk_indexed(spark, path, cents, q, k=3, nprobe=2)
+    direct = similarity.ivf_topk(emb, q, k=3, nprobe=2)
+    key = lambda r: (r["query_id"], r["rank"])
+    assert sorted(map(tuple, served.collect()), key=lambda t: (t[0], t[3])) == sorted(
+        map(tuple, direct.collect()), key=lambda t: (t[0], t[3])
+    )
+    # the scan must be partition-pruned to the probed cells only
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cid#" in plan
+
+
 def test_text_analyze(spark, docs):
     out = {r["doc_id"]: r for r in text.analyze(docs).collect()}
     assert out[1]["lang_pred"] == "en"

@@ -1197,6 +1197,38 @@ def q_text_quality(spark, sf_dir):
     return text_ops.with_quality(docs).select("doc_id", "quality").orderBy("doc_id")
 
 
+def q_text_vocab(spark, sf_dir):
+    """Corpus vocabulary head: top-20 tokens by occurrence, ties to
+    the smaller token. TakeOrdered (per-partition top-n merge), not a
+    global sort."""
+    docs = _read(spark, sf_dir, "documents")
+    return text_ops.vocab_topn(docs, n=20).orderBy(F.desc("n_occ"), F.asc("token"))
+
+
+def q_text_source_stats(spark, sf_dir):
+    """Per-source corpus health: doc count + quality min/mean/max.
+    The mean is a decimal-exact sum divided once in float64, so it is
+    partition-order-free and engine-exact."""
+    docs = _read(spark, sf_dir, "documents")
+    return text_ops.source_stats(docs).orderBy("source")
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Deterministic stratified sampling: md5-bucket membership per
+    doc_id, per-language rates (downsample the head language, keep
+    rare ones). Partitioning-independent — df.sample() is not — and a
+    pure map-side filter."""
+    from gdal_vfr_spark.operators import sampling
+
+    docs = _read(spark, sf_dir, "documents")
+    out = sampling.stratified_sample(
+        docs, key="doc_id", strata_col="lang",
+        fractions={"en": 0.25, "es": 1.0, "de": 0.5},
+        default_fraction=0.1,
+    )
+    return out.select("doc_id", "lang").orderBy("doc_id")
+
+
 def q_text_tokens(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
     return (
@@ -1715,6 +1747,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang": q_text_lang,
         "text_quality": q_text_quality,
         "text_tokens": q_text_tokens,
+        "text_vocab": q_text_vocab,
+        "text_source_stats": q_text_source_stats,
+        "sample_stratified": q_sample_stratified,
         "text_fingerprint": q_text_fingerprint,
         "text_extract": q_text_extract,
         "geo_tile_join": q_geo_tile_join,
@@ -1936,6 +1971,29 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _duck_simhash_sql() + " ORDER BY doc_id",
         "text_lang": _duck_lang_sql() + " ORDER BY doc_id",
         "text_quality": _duck_quality_sql() + " ORDER BY doc_id",
+        "text_vocab": f"""
+            SELECT token, count(*) AS n_occ FROM (
+              SELECT unnest({_duck_tokens('text')}) AS token FROM documents
+            ) GROUP BY token ORDER BY n_occ DESC, token ASC LIMIT 20
+        """,
+        "text_source_stats": f"""
+            WITH q AS ({_duck_quality_sql()})
+            SELECT d.source, count(*) AS n_docs,
+                   CAST(sum(CAST(q.quality AS DECIMAL(18,6))) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE) AS avg_quality,
+                   min(q.quality) AS min_quality, max(q.quality) AS max_quality
+            FROM documents d JOIN q ON d.doc_id = q.doc_id
+            GROUP BY d.source ORDER BY d.source
+        """,
+        "sample_stratified": f"""
+            SELECT doc_id, lang FROM documents
+            WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT <
+              CASE lang WHEN 'es' THEN {int(1.0 * (1 << 32))}
+                        WHEN 'de' THEN {int(0.5 * (1 << 32))}
+                        WHEN 'en' THEN {int(0.25 * (1 << 32))}
+                        ELSE {int(0.1 * (1 << 32))} END
+            ORDER BY doc_id
+        """,
         "text_tokens": f"""
             SELECT source, CAST(sum(n_tokens) AS BIGINT) AS total_tokens, CAST(max(n_tokens) AS BIGINT) AS max_tokens,
                    count(*) AS n_docs

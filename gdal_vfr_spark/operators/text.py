@@ -127,6 +127,38 @@ def with_quality(df: DataFrame, text_col: str = "text", out_col: str = "quality"
     return out.withColumn(out_col, score).drop("__toks", "__n")
 
 
+def vocab_topn(df: DataFrame, text_col: str = "text", n: int = 20) -> DataFrame:
+    """Corpus vocabulary head: top-n tokens by occurrence (ties to the
+    lexicographically smaller token — deterministic cut). explode ->
+    partial+final hash count -> TakeOrdered: Spark's orderBy+limit
+    plans as a per-partition top-n merge, NOT a global sort, so this
+    holds at 10^12 documents."""
+    toks = df.select(F.explode(tokens_expr(text_col)).alias("token"))
+    return (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("n_occ"))
+        .orderBy(F.desc("n_occ"), F.asc("token"))
+        .limit(n)
+    )
+
+
+def source_stats(df: DataFrame, text_col: str = "text", group_col: str = "source") -> DataFrame:
+    """Per-source corpus health: doc count + quality distribution.
+    The mean uses a DECIMAL sum (quality is already rounded to 1e-6,
+    so the sum is exact and order-free) divided once in float64 —
+    bit-stable across partitionings and engines."""
+    q = with_quality(df, text_col)
+    return q.groupBy(group_col).agg(
+        F.count("*").alias("n_docs"),
+        (
+            F.sum(F.col("quality").cast("decimal(18,6)")).cast("double")
+            / F.count("*").cast("double")
+        ).alias("avg_quality"),
+        F.min("quality").alias("min_quality"),
+        F.max("quality").alias("max_quality"),
+    )
+
+
 def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach all four analysis columns in one projection (single pass)."""
     return df.select(

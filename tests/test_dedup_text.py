@@ -148,6 +148,40 @@ def test_ivf_indexed_prunes_partitions(spark, tmp_path):
     assert "PartitionFilters" in plan and "cid#" in plan
 
 
+def test_hash_sampling_deterministic_and_stratified(spark):
+    from gdal_vfr_spark.operators import sampling
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    s1 = {r["doc_id"] for r in sampling.hash_sample(docs, "doc_id", 0.3).collect()}
+    # partitioning-independent (df.sample() is NOT)
+    s2 = {
+        r["doc_id"]
+        for r in sampling.hash_sample(docs.repartition(17), "doc_id", 0.3).collect()
+    }
+    assert s1 == s2 and 0.15 < len(s1) / 500 < 0.45
+    strat = sampling.stratified_sample(
+        docs, "doc_id", "lang", {"es": 1.0, "en": 0.0}, default_fraction=0.5
+    )
+    got = strat.groupBy("lang").count().collect()
+    full = dict((r["lang"], r["count"]) for r in docs.groupBy("lang").count().collect())
+    rates = {r["lang"]: r["count"] / full[r["lang"]] for r in got}
+    assert rates.get("es") == 1.0 and "en" not in rates
+    for lang, rate in rates.items():
+        if lang not in ("es",):
+            assert 0.3 < rate < 0.7  # default 0.5 within tolerance
+
+
+def test_vocab_and_source_stats(spark, docs):
+    vocab = text.vocab_topn(docs, n=3).collect()
+    assert len(vocab) == 3 and vocab[0]["n_occ"] >= vocab[-1]["n_occ"]
+    assert all(r["token"] for r in vocab)
+    st = text.source_stats(docs.withColumn("source", F.lit("s1"))).collect()
+    assert len(st) == 1
+    row = st[0]
+    assert row["n_docs"] == 7
+    assert 0.0 <= row["min_quality"] <= row["avg_quality"] <= row["max_quality"] <= 1.0
+
+
 def test_text_analyze(spark, docs):
     out = {r["doc_id"]: r for r in text.analyze(docs).collect()}
     assert out[1]["lang_pred"] == "en"

@@ -463,6 +463,40 @@ def _duck_srp_topk_sql(k: int = 3, n_queries: int = 5, n_planes: int = 8, dim: i
     """
 
 
+def _duck_streets_scored_ctes(geo: str, pts_filter: str = "event_id % 100 = 1") -> str:
+    """Shared CTE block for the street-distance oracles: exact
+    regeneration of datagen.gen_ulice_pdf endpoints + the clamped-
+    projection point->segment distance in the same float64 op order as
+    geo.knn._point_seg_dist2. Yields CTEs prm/streets/pts/scored."""
+    t = (
+        "((p.lon - st.x1) * (st.x2 - st.x1) + (p.lat - st.y1) * (st.y2 - st.y1))"
+        " / ((st.x2 - st.x1) * (st.x2 - st.x1) + (st.y2 - st.y1) * (st.y2 - st.y1))"
+    )
+    ex = f"(p.lon - (st.x1 + LEAST(GREATEST({t}, 0), 1) * (st.x2 - st.x1)))"
+    ey = f"(p.lat - (st.y1 + LEAST(GREATEST({t}, 0), 1) * (st.y2 - st.y1)))"
+    return f"""prm AS (
+              SELECT (CAST(15 AS DOUBLE) - 14) / 10 AS gdx,
+                     (CAST(50.5 AS DOUBLE) - 49.5) / 10 AS gdy,
+                     CAST(1 AS DOUBLE) / 10 AS f01,
+                     CAST(9 AS DOUBLE) / 10 AS f09
+            ), streets AS (
+              SELECT 100000 + (iy.i * 10 + ix.i) * 2 + s.i AS kod,
+                     (14 + ix.i * prm.gdx) + prm.f01 * prm.gdx AS x1,
+                     (49.5 + iy.i * prm.gdy) + (CAST(s.i + 1 AS DOUBLE) / 3) * prm.gdy AS y1,
+                     (14 + ix.i * prm.gdx) + prm.f09 * prm.gdx AS x2,
+                     (49.5 + iy.i * prm.gdy) + (CAST(s.i + 1 AS DOUBLE) / 3) * prm.gdy AS y2
+              FROM (SELECT unnest(range(0, 10)) AS i) ix,
+                   (SELECT unnest(range(0, 10)) AS i) iy,
+                   (SELECT unnest(range(0, 2)) AS i) s, prm
+            ), pts AS (
+              SELECT event_id, lon, lat FROM ({geo})
+              WHERE lon IS NOT NULL AND {pts_filter}
+            ), scored AS (
+              SELECT p.event_id, st.kod, {ex} * {ex} + {ey} * {ey} AS d2
+              FROM pts p CROSS JOIN streets st
+            )"""
+
+
 def _duck_ivf_topk_sql(
     k: int = 3,
     n_queries: int = 5,
@@ -844,6 +878,20 @@ def q_geo_knn_lines(spark, sf_dir):
         F.col("neighbor_key").alias("kod"),
         (F.col("rank") + 1).cast("long").alias("rank"),
     ).orderBy("event_id", "rank")
+
+
+def q_geo_range_join(spark, sf_dir):
+    """Distance-band join — every street within 0.01 deg of each
+    sampled page point (the third spatial-join flavor next to PIP and
+    kNN). Certified ring cover over the same broadcast segment index;
+    oracle = the same clamped-projection distance vs the same literal
+    threshold, so the pair set and the d2 values are bit-equal."""
+    _ensure_shipped(spark)
+    g = _events_geo(spark, sf_dir).where(F.col("event_id") % 100 == 1)
+    out = _ulice_joiner(spark).apply_range(g, max_dist=0.01, id_col="event_id")
+    return out.select(
+        "event_id", F.col("neighbor_key").alias("kod"), "dist2"
+    ).orderBy("event_id", "kod")
 
 
 def q_a2_wkb_presence(spark, sf_dir):
@@ -1737,6 +1785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_pip_rows": q_geo_pip_rows,
         "geo_knn": q_geo_knn,
         "geo_knn_lines": q_geo_knn_lines,
+        "geo_range_join": q_geo_range_join,
         "a2_wkb_presence": q_a2_wkb_presence,
         "p4_wkb_coalesce": q_p4_wkb_coalesce,
         "geo_tile_counts": q_geo_tile_counts,
@@ -1957,6 +2006,12 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY d2 ASC, kod ASC) AS rank
               FROM scored
             ) WHERE rank <= 3 ORDER BY event_id, rank
+        """,
+        "geo_range_join": f"""
+            WITH {_duck_streets_scored_ctes(geo)}
+            SELECT event_id, kod, d2 AS dist2 FROM scored
+            WHERE d2 <= {repr(0.01 * 0.01)}
+            ORDER BY event_id, kod
         """,
         "geo_tile_counts": f"""
             SELECT {_duck_cell('lon', 'lat', 12)} AS tile_key, count(*) AS n

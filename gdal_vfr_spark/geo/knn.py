@@ -332,6 +332,43 @@ class PackedSegmentIndex:
         return np.concatenate(cand_idx), np.concatenate(cand_q)
 
 
+def range_lines_batch(
+    idx: PackedSegmentIndex, qx: np.ndarray, qy: np.ndarray, max_dist: float
+):
+    """Distance-band (range) join: ALL distinct line keys within
+    max_dist of each query point, with the min squared distance per
+    key. Ring radius is certified up front — a segment not registered
+    within Chebyshev ring r is at distance >= r*guard (same bound the
+    kNN expansion uses), so gathering rings 0..R with R*guard >
+    max_dist provably covers the band. Returns (query_idx, key, d2)."""
+    nq = len(qx)
+    if nq == 0 or len(idx.x1) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.float64)
+    ix, iy = cells.lonlat_to_grid(qx, qy, idx.res)
+    n_grid = 1 << idx.res
+    guard = min(360.0 / n_grid, 180.0 / n_grid)
+    rings = int(max_dist / guard) + 1
+    acc_q: list[np.ndarray] = []
+    acc_v: list[np.ndarray] = []
+    acc_d: list[np.ndarray] = []
+    for r in range(rings + 1):
+        ti, qpos = idx.ring_candidates(ix, iy, r)
+        if len(ti):
+            d2 = _point_seg_dist2(
+                qx[qpos], qy[qpos], idx.x1[ti], idx.y1[ti], idx.x2[ti], idx.y2[ti]
+            )
+            acc_q.append(qpos)
+            acc_v.append(idx.keys[ti])
+            acc_d.append(d2)
+    if not acc_q:
+        return np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.float64)
+    rq, rv, rd = _reduce_min_per_key(
+        np.concatenate(acc_q), np.concatenate(acc_v), np.concatenate(acc_d)
+    )
+    keep = rd <= max_dist * max_dist
+    return rq[keep], rv[keep], rd[keep]
+
+
 def knn_lines_batch(
     idx: PackedSegmentIndex, qx: np.ndarray, qy: np.ndarray, k: int, max_ring: int = 8
 ):
@@ -483,6 +520,68 @@ class LineKNNJoiner:
                 )
 
         return src.mapInPandas(_map, schema=out_schema)
+
+    def apply_range(
+        self,
+        points_df: DataFrame,
+        max_dist: float,
+        lon_col: str = "lon",
+        lat_col: str = "lat",
+        id_col: str = "url",
+    ) -> DataFrame:
+        """Distance-band join over the prepared index: every (point,
+        line key) pair within max_dist, with the min squared distance.
+        Same map-only shape as kNN apply(): broadcast index, one Arrow
+        pass, zero shuffle on the point side."""
+        bc = self._bc
+        id_field = points_df.schema[id_col]
+        out_schema = T.StructType(
+            [
+                id_field,
+                T.StructField("neighbor_key", T.LongType()),
+                T.StructField("dist2", T.DoubleType()),
+            ]
+        )
+        src = points_df.select(id_col, lon_col, lat_col).where(
+            F.col(lon_col).isNotNull() & F.col(lat_col).isNotNull()
+        )
+
+        def _map(batches):
+            index: PackedSegmentIndex = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                qx = pdf[lon_col].to_numpy(dtype=np.float64)
+                qy = pdf[lat_col].to_numpy(dtype=np.float64)
+                qi, keys, d2 = range_lines_batch(index, qx, qy, max_dist)
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col].to_numpy()[qi],
+                        "neighbor_key": keys,
+                        "dist2": d2,
+                    }
+                )
+
+        return src.mapInPandas(_map, schema=out_schema)
+
+
+def range_join_lines(
+    points_df: DataFrame,
+    targets_df: DataFrame,
+    max_dist: float,
+    target_key: str,
+    geom_col: str = "definicni_cara",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    res: int | None = None,
+    id_col: str = "url",
+) -> DataFrame:
+    """One-shot distance-band join (all lines within max_dist per
+    point) over a fresh LineKNNJoiner."""
+    joiner = LineKNNJoiner(targets_df, target_key, geom_col, res=res)
+    return joiner.apply_range(
+        points_df, max_dist, lon_col=lon_col, lat_col=lat_col, id_col=id_col
+    )
 
 
 def knn_join_lines(

@@ -231,3 +231,47 @@ def test_point_seg_dist2_properties():
         assert d_deg == (qx - x1) ** 2 + (qy - y1) ** 2
 
     run()
+
+
+def test_range_lines_batch_vs_brute():
+    """Distance-band join must equal the brute-force band over all
+    segments, including at several band radii spanning ring sizes."""
+    from gdal_vfr_spark.geo import wkb as W
+    from gdal_vfr_spark.geo.knn import (
+        PackedSegmentIndex,
+        _point_seg_dist2,
+        range_lines_batch,
+    )
+
+    pdf = datagen.gen_ulice_pdf()
+    pairs = [(int(r.kod), bytes(r.definicni_cara)) for r in pdf.itertuples()]
+    idx = PackedSegmentIndex.build(pairs, res=6)
+    rng = np.random.default_rng(3)
+    qx = rng.uniform(14, 15, 400)
+    qy = rng.uniform(49.5, 50.5, 400)
+    for max_dist in (0.003, 0.01, 0.05):
+        qi, keys, d2 = range_lines_batch(idx, qx, qy, max_dist)
+        got = {(int(a), int(b)) for a, b in zip(qi, keys)}
+        want = set()
+        for i in range(len(qx)):
+            dd = _point_seg_dist2(qx[i], qy[i], idx.x1, idx.y1, idx.x2, idx.y2)
+            per_key: dict[int, float] = {}
+            for kk, d in zip(idx.keys, dd):
+                per_key[int(kk)] = min(per_key.get(int(kk), np.inf), float(d))
+            want |= {(i, kk) for kk, d in per_key.items() if d <= max_dist * max_dist}
+        assert got == want, max_dist
+
+
+def test_range_join_lines_spark(spark):
+    from gdal_vfr_spark.geo.knn import range_join_lines
+
+    pages = datagen.gen_webpages(spark, n=2000, seed=11)
+    ulice = datagen.gen_ulice(spark)
+    out = range_join_lines(
+        pages, ulice, max_dist=0.02, target_key="kod", id_col="url"
+    ).collect()
+    assert len(out) > 0
+    assert all(r["dist2"] <= 0.02 * 0.02 for r in out)
+    # every matched street belongs to a neighboring obec of the point
+    # (streets are horizontal segments inside one obec cell)
+    assert len({r["url"] for r in out}) <= 2000

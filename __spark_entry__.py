@@ -1245,6 +1245,28 @@ def q_text_quality(spark, sf_dir):
     return text_ops.with_quality(docs).select("doc_id", "quality").orderBy("doc_id")
 
 
+def q_text_pii_scrub(spark, sf_dir):
+    """PII scrubbing (email/phone redaction) — the fixture corpus
+    carries no PII, so the query synthesizes deterministic PII-bearing
+    strings from event ids (the f7/f9 pattern) and scrubs them; the
+    oracle applies the same regexes with DuckDB's 'g' flag (Spark's
+    regexp_replace is replace-all by default)."""
+    ev = _read(spark, sf_dir, "events").where(F.col("event_id") % 250 == 0)
+    raw = F.concat(
+        F.lit("reach user"),
+        F.col("event_id").cast("string"),
+        F.lit("@mail-"),
+        (F.col("event_id") % 7).cast("string"),
+        F.lit(".example.org, tel 555-123-4"),
+        F.lpad((F.col("event_id") % 1000).cast("string"), 3, "0"),
+        F.lit(" or 777 888 999, ref "),
+        F.col("event_id").cast("string"),
+    )
+    return ev.select(
+        "event_id", text_ops.scrub_pii_expr(raw).alias("scrubbed")
+    ).orderBy("event_id")
+
+
 def q_text_vocab(spark, sf_dir):
     """Corpus vocabulary head: top-20 tokens by occurrence, ties to
     the smaller token. TakeOrdered (per-partition top-n merge), not a
@@ -1797,6 +1819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_tokens": q_text_tokens,
         "text_vocab": q_text_vocab,
+        "text_pii_scrub": q_text_pii_scrub,
         "text_source_stats": q_text_source_stats,
         "sample_stratified": q_sample_stratified,
         "text_fingerprint": q_text_fingerprint,
@@ -2026,6 +2049,19 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _duck_simhash_sql() + " ORDER BY doc_id",
         "text_lang": _duck_lang_sql() + " ORDER BY doc_id",
         "text_quality": _duck_quality_sql() + " ORDER BY doc_id",
+        "text_pii_scrub": """
+            SELECT event_id,
+                   regexp_replace(
+                     regexp_replace(
+                       'reach user' || CAST(event_id AS VARCHAR) || '@mail-'
+                         || CAST(event_id % 7 AS VARCHAR)
+                         || '.example.org, tel 555-123-4'
+                         || lpad(CAST(event_id % 1000 AS VARCHAR), 3, '0')
+                         || ' or 777 888 999, ref ' || CAST(event_id AS VARCHAR),
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                     '\\+?[0-9]{3}[- .][0-9]{3}[- .][0-9]{3,4}', '[PHONE]', 'g') AS scrubbed
+            FROM events WHERE event_id % 250 = 0 ORDER BY event_id
+        """,
         "text_vocab": f"""
             SELECT token, count(*) AS n_occ FROM (
               SELECT unnest({_duck_tokens('text')}) AS token FROM documents

@@ -127,6 +127,24 @@ def with_quality(df: DataFrame, text_col: str = "text", out_col: str = "quality"
     return out.withColumn(out_col, score).drop("__toks", "__n")
 
 
+# Conservative PII patterns restricted to the regex subset Java
+# (Spark) and RE2 (DuckDB) agree on: no backrefs, no lookaround.
+PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_PHONE_RE = "\\+?[0-9]{3}[- .][0-9]{3}[- .][0-9]{3,4}"
+
+
+def scrub_pii_expr(text) -> F.Column:
+    """Email/phone redaction for training corpora: emails -> [EMAIL],
+    phone-shaped number groups -> [PHONE]. Pure Catalyst regexp_replace
+    chain (order matters: emails first so digits inside them are gone
+    before the phone pass). Patterns are deliberately conservative —
+    the cost of a missed weird format is lower than mangling code/math
+    text, the standard trade in web-corpus scrubbing."""
+    t = F.col(text) if isinstance(text, str) else text
+    out = F.regexp_replace(t, PII_EMAIL_RE, "[EMAIL]")
+    return F.regexp_replace(out, PII_PHONE_RE, "[PHONE]")
+
+
 def vocab_topn(df: DataFrame, text_col: str = "text", n: int = 20) -> DataFrame:
     """Corpus vocabulary head: top-n tokens by occurrence (ties to the
     lexicographically smaller token — deterministic cut). explode ->

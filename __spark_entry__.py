@@ -70,8 +70,10 @@ FROM events
 """
 
 
-def _events_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _read(spark, sf_dir, "events")
+def _geo_projection(e: DataFrame) -> DataFrame:
+    """Deterministic geotag synthesis over an events DataFrame — pure
+    projections, so it applies identically to batch and streaming
+    inputs (q_stream_pip_counts reuses it on a readStream source)."""
     null_geo = (F.col("event_id") % 20) == 0
     lon = F.lit(14.0) + (
         (F.lit(2) * ((F.col("event_id") * 7919) % 500) + 1).cast("double") / F.lit(1000.0)
@@ -87,6 +89,10 @@ def _events_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(null_geo, F.lit(None).cast("double")).otherwise(lon).alias("lon"),
         F.when(null_geo, F.lit(None).cast("double")).otherwise(lat).alias("lat"),
     )
+
+
+def _events_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _geo_projection(_read(spark, sf_dir, "events"))
 
 
 # oracle-side obec kod from floor arithmetic (ground truth by construction)
@@ -1169,6 +1175,35 @@ def q_stream_window_counts(spark, sf_dir):
     ).orderBy("hour_ts", "event_type")
 
 
+def q_stream_pip_counts(spark, sf_dir):
+    """The J4 north-star operator under Structured Streaming: the SAME
+    PIPJoiner (broadcast cell-cover join + Arrow winding refine) is
+    map-side only, so it applies unchanged to a readStream source;
+    per-obec counts aggregate across micro-batches in complete mode.
+    With all files available the final table equals the batch
+    geo_pip_counts — the exact oracle for the streaming spatial path."""
+    _ensure_shipped(spark)
+    batch_schema = _read(spark, sf_dir, "events").schema
+    stream = (
+        spark.readStream.schema(batch_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    joined = _obce_joiner(spark).apply(_geo_projection(stream))
+    agg = joined.groupBy("obec_kod").agg(F.count("*").alias("n_pages"))
+    _WSTREAM_SEQ[0] += 1
+    name = f"gvs_pipstream_{_WSTREAM_SEQ[0]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("obec_kod")
+
+
 def q_skew_salted_count(spark, sf_dir):
     """§4 item 2 — two-phase salted aggregation: partial count per
     (key, salt) then final sum; identical to a direct groupBy count
@@ -1831,6 +1866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup": q_stream_dedup,
         "skew_salted_count": q_skew_salted_count,
         "stream_window_counts": q_stream_window_counts,
+        "stream_pip_counts": q_stream_pip_counts,
         "skew_salted_join": q_skew_salted_join,
         "p1_layer_select": q_p1_layer_select,
         "p5_list_downgrade": q_p5_list_downgrade,
@@ -1952,6 +1988,11 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1, 2 ORDER BY hour_ts, event_type
         """,
         "geo_pip_counts": f"""
+            SELECT {ORACLE_OBEC} AS obec_kod, count(*) AS n_pages
+            FROM ({geo}) WHERE lon IS NOT NULL
+            GROUP BY 1 ORDER BY obec_kod
+        """,
+        "stream_pip_counts": f"""
             SELECT {ORACLE_OBEC} AS obec_kod, count(*) AS n_pages
             FROM ({geo}) WHERE lon IS NOT NULL
             GROUP BY 1 ORDER BY obec_kod

@@ -128,34 +128,122 @@ class PackedPolygonIndex:
             out[grp] = self.contains_one(p, px[grp], py[grp])
         return out
 
+    def _edges(self, p: int) -> np.ndarray:
+        """(E, 4) per-edge endpoints (x1, y1, x2, y2) over all rings of
+        polygon p — used once at cover-build time."""
+        out = []
+        for r in range(self.poly_ring[p], self.poly_ring[p + 1]):
+            ring = self.verts[self.ring_off[r] : self.ring_off[r + 1]]
+            out.append(
+                np.stack([ring[:-1, 0], ring[:-1, 1], ring[1:, 0], ring[1:, 1]], axis=1)
+            )
+        return np.concatenate(out) if out else np.empty((0, 4))
+
     def cover(self, res: int) -> pd.DataFrame:
-        """(cell, pidx, key) cover table at resolution res: every cell
-        whose bbox intersects the polygon's bbox. Exactness is restored
-        by the refine step; the cover only bounds candidate fan-out."""
-        cells_out, pidx_out, key_out = [], [], []
+        """(cell, pidx, key, interior) cover table at resolution res:
+        every cell whose bbox intersects the polygon's bbox.
+
+        `interior` certifies cells whose closed rectangle no polygon
+        edge touches AND whose center the even-odd test puts inside:
+        containment is then CONSTANT over the cell (parity can only
+        change across an edge), so candidate points in interior cells
+        are hits with no refinement — they never cross the Python
+        boundary. The test is conservative (edge-bbox overlap against
+        an epsilon-inflated rect), so a misclassification can only
+        send extra rows to the refine step, never skip it. Boundary
+        cells keep the exact winding refine."""
+        n = 1 << res
+        dx, dy = 360.0 / n, 180.0 / n
+        eps_x, eps_y = dx * 1e-9, dy * 1e-9
+        cells_out, pidx_out, key_out, int_out = [], [], [], []
         for p in range(len(self.keys)):
-            cc = cells.cover_bbox(*self.bbox[p], res)
+            lon_min, lat_min, lon_max, lat_max = self.bbox[p]
+            ix0, iy0 = cells.lonlat_to_grid(
+                np.asarray([lon_min]), np.asarray([lat_min]), res
+            )
+            ix1, iy1 = cells.lonlat_to_grid(
+                np.asarray([lon_max]), np.asarray([lat_max]), res
+            )
+            xs = np.arange(int(ix0[0]), min(int(ix1[0]), n - 1) + 1, dtype=np.int64)
+            ys = np.arange(int(iy0[0]), min(int(iy1[0]), n - 1) + 1, dtype=np.int64)
+            gx, gy = np.meshgrid(xs, ys)
+            gx, gy = gx.ravel(), gy.ravel()
+            cc = (
+                (cells.morton_encode(gx, gy) << np.int64(5)) | np.int64(res)
+            ).astype(np.int64)
+            cxmin = gx * dx - 180.0 - eps_x
+            cxmax = (gx + 1) * dx - 180.0 + eps_x
+            cymin = gy * dy - 90.0 - eps_y
+            cymax = (gy + 1) * dy - 90.0 + eps_y
+            ed = self._edges(p)
+            touched = np.zeros(len(cc), dtype=bool)
+            if len(ed):
+                # exact SAT segment-vs-rect, (C, E) blocked over edges:
+                # separating axes are x, y (edge-bbox vs rect) and the
+                # segment normal (all 4 rect corners strictly on one
+                # side). Corner exactly ON the line counts as touching
+                # (conservative).
+                for e0 in range(0, len(ed), 2048):
+                    e = ed[e0 : e0 + 2048]
+                    x1, y1, x2, y2 = e[:, 0], e[:, 1], e[:, 2], e[:, 3]
+                    bb = (
+                        (np.minimum(x1, x2)[None, :] <= cxmax[:, None])
+                        & (np.maximum(x1, x2)[None, :] >= cxmin[:, None])
+                        & (np.minimum(y1, y2)[None, :] <= cymax[:, None])
+                        & (np.maximum(y1, y2)[None, :] >= cymin[:, None])
+                    )
+                    edx, edy = (x2 - x1)[None, :], (y2 - y1)[None, :]
+                    pos = np.zeros(bb.shape, dtype=bool)
+                    neg = np.zeros(bb.shape, dtype=bool)
+                    first = True
+                    for cx, cy in (
+                        (cxmin, cymin), (cxmin, cymax), (cxmax, cymin), (cxmax, cymax)
+                    ):
+                        d = edx * (cy[:, None] - y1[None, :]) - edy * (
+                            cx[:, None] - x1[None, :]
+                        )
+                        if first:
+                            pos, neg, first = d > 0, d < 0, False
+                        else:
+                            pos &= d > 0
+                            neg &= d < 0
+                    touched |= (bb & ~pos & ~neg).any(axis=1)
+            centers_x = gx * dx - 180.0 + dx / 2
+            centers_y = gy * dy - 90.0 + dy / 2
+            interior = ~touched
+            if interior.any():
+                inside = self.contains_one(p, centers_x[interior], centers_y[interior])
+                tmp = np.zeros(len(cc), dtype=bool)
+                tmp[np.flatnonzero(interior)[inside]] = True
+                interior = tmp
             cells_out.append(cc)
             pidx_out.append(np.full(len(cc), p, dtype=np.int64))
             key_out.append(np.full(len(cc), self.keys[p], dtype=np.int64))
+            int_out.append(interior)
         return pd.DataFrame(
             {
                 "cell": np.concatenate(cells_out),
                 "pidx": np.concatenate(pidx_out),
                 "poly_key": np.concatenate(key_out),
+                "interior": np.concatenate(int_out),
             }
         )
 
-    def auto_res(self, target_cells_per_poly: float = 4.0) -> int:
+    def auto_res(self, target_cells_per_poly: float = 64.0) -> int:
         """Pick a cover resolution: median polygon bbox ≈ target cells.
-        Coarser -> more refine work; finer -> wider cover table."""
+        Coarser -> more refine work; finer -> wider cover table. The
+        default targets ~8x8 cells per polygon so the interior-cell
+        certification (see cover()) exempts the bulk of candidate rows
+        from the Python refine — the cover table stays tiny (10^2
+        cells x 10^4-10^6 polygons broadcasts fine) while the per-page
+        work drops to a hash probe for most rows."""
         if len(self.keys) == 0:
             return 0
         w = np.median(self.bbox[:, 2] - self.bbox[:, 0])
         h = np.median(self.bbox[:, 3] - self.bbox[:, 1])
         span = max(float(max(w, h)), 1e-12)
         per_side = max(target_cells_per_poly**0.5, 1.0)
-        res = int(np.floor(np.log2(360.0 / span * per_side)))
+        res = int(np.ceil(np.log2(360.0 / span * per_side)))
         return int(np.clip(res, 0, cells.MAX_RES))
 
 
@@ -229,19 +317,33 @@ class PIPJoiner:
 
         @F.pandas_udf(BooleanType())
         def _refine(lon: pd.Series, lat: pd.Series, pidx: pd.Series) -> pd.Series:
+            # null pidx = interior-certified row (hit decided JVM-side);
+            # the winding test runs only on boundary-cell rows
             idx: PackedPolygonIndex = bc.value
-            return pd.Series(
-                idx.contains(
-                    pidx.to_numpy(dtype=np.int64),
-                    lon.to_numpy(dtype=np.float64),
-                    lat.to_numpy(dtype=np.float64),
+            mask = pidx.notna().to_numpy()
+            out = np.zeros(len(pidx), dtype=bool)
+            if mask.any():
+                out[mask] = idx.contains(
+                    pidx.to_numpy(dtype=np.float64)[mask].astype(np.int64),
+                    lon.to_numpy(dtype=np.float64)[mask],
+                    lat.to_numpy(dtype=np.float64)[mask],
                 )
-            )
+            return pd.Series(out)
 
+        # interior-certified candidates skip the winding compute: their
+        # UDF inputs are nulled, so the Arrow pass does no per-edge work
+        # for them (the bulk of candidates at the default cover res) and
+        # the hit bit comes from the broadcast cover row itself.
+        need = ~F.col("interior")
+        refined = _refine(
+            F.when(need, F.col(lon_col)),
+            F.when(need, F.col(lat_col)),
+            F.when(need, F.col("pidx")),
+        )
         hits = (
-            cand.withColumn("__hit", _refine(F.col(lon_col), F.col(lat_col), F.col("pidx")))
+            cand.withColumn("__hit", F.col("interior") | refined)
             .where(F.col("__hit"))
-            .drop("__hit", "pidx", "__cell")
+            .drop("__hit", "pidx", "__cell", "interior")
             .withColumnRenamed("poly_key", out_key)
         )
         if how == "inner":

@@ -76,3 +76,44 @@ def test_pip_counts_per_obec(spark):
     )
     want = {r["truth_obec_kod"]: r["n"] for r in truth}
     assert got == want
+
+
+def test_interior_certification_exact_on_diagonal_polygons(spark):
+    """The interior-cell fast path must agree with pure winding refine
+    on NON-axis-aligned geometry (where the conservative edge-bbox
+    test actually has boundary cells of both kinds): a diamond and a
+    concave chevron, random points, compared point-by-point against
+    driver-side contains()."""
+    from pyspark.sql import functions as F
+
+    from gdal_vfr_spark.geo.pip import PackedPolygonIndex, PIPJoiner
+
+    diamond = wkb.polygon(
+        [np.asarray([[14.5, 50.0], [14.7, 50.2], [14.9, 50.0], [14.7, 49.8], [14.5, 50.0]])]
+    )
+    chevron = wkb.polygon(
+        [np.asarray([[14.0, 49.5], [14.4, 49.9], [14.8, 49.5], [14.4, 49.7], [14.0, 49.5]])]
+    )
+    pdf_polys = pd.DataFrame({"kod": [1, 2], "geom": [diamond, chevron]})
+    polys = spark.createDataFrame(pdf_polys)
+    rng = np.random.default_rng(5)
+    qx = rng.uniform(13.9, 15.0, 4000)
+    qy = rng.uniform(49.4, 50.3, 4000)
+    pts = spark.createDataFrame(
+        pd.DataFrame({"pid": np.arange(4000), "lon": qx, "lat": qy})
+    )
+    joiner = PIPJoiner(polys, poly_key="kod", geom_col="geom", out_key="kod")
+    # the cover must certify a meaningful interior share, else this
+    # test exercises nothing
+    cover = joiner.index.cover(joiner.res)
+    assert cover["interior"].sum() > 0
+    got = {
+        (int(r["pid"]), int(r["kod"]))
+        for r in joiner.apply(pts, lon_col="lon", lat_col="lat").collect()
+    }
+    idx = PackedPolygonIndex.build([(1, diamond), (2, chevron)])
+    want = set()
+    for p, key in ((0, 1), (1, 2)):
+        inside = idx.contains_one(p, qx, qy)
+        want |= {(int(i), key) for i in np.flatnonzero(inside)}
+    assert got == want

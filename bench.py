@@ -102,7 +102,7 @@ def spatial_pipeline(spark, path: str, joiner=None):
     ).agg(F.count("*").alias("n_pages"))
 
 
-def run_spatial_worker(cpus: int, path: str, runs: int = 2) -> None:
+def run_spatial_worker(cpus: int, path: str, runs: int = 1) -> None:
     """Subprocess entry: run the spatial job at local[cpus], print JSON."""
     from gdal_vfr_spark import get_spark
 
@@ -114,9 +114,11 @@ def run_spatial_worker(cpus: int, path: str, runs: int = 2) -> None:
     )
     n_geo = spark.read.parquet(path).where("lon is not null").count()
     joiner = make_joiner(spark)
-    # full warmup run (JIT, codegen, python worker pool), then best of
-    # `runs` measured runs (this host is shared; min controls for
-    # background load spikes)
+    # full warmup run (JIT, codegen, python worker pool), then `runs`
+    # measured runs; the interleaved 3-subprocess-per-level protocol in
+    # bench_spatial takes the min across subprocesses, so one measured
+    # run here keeps 3 samples per level at half the wall time (the
+    # 240M-page input makes per-run cost material)
     _materialize(spatial_pipeline(spark, path, joiner))
     times = []
     for _ in range(runs):

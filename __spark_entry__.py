@@ -1302,6 +1302,27 @@ def q_text_pii_scrub(spark, sf_dir):
     ).orderBy("event_id")
 
 
+def q_text_pack_bins(spark, sf_dir):
+    """Concat-and-chunk sequence packing per source shard: bin id +
+    token offset of every document under a 512-token budget. One
+    running-sum window partitioned by the shard (never a global sort
+    at scale)."""
+    docs = _read(spark, sf_dir, "documents")
+    return text_ops.pack_bins(
+        docs, budget=512, order_col="doc_id", shard_col="source"
+    ).orderBy("source", "doc_id")
+
+
+def q_text_chunks(spark, sf_dir):
+    """Sliding-window chunking (size 40, overlap 10) of a sampled doc
+    subset: 1:N explode with the chunk text reconstructed from the
+    token array — the embedding-corpus prep shape."""
+    docs = _read(spark, sf_dir, "documents").where(F.col("doc_id") % 25 == 3)
+    return text_ops.chunk_tokens(docs, size=40, overlap=10).orderBy(
+        "doc_id", "token_start"
+    )
+
+
 def q_text_vocab(spark, sf_dir):
     """Corpus vocabulary head: top-20 tokens by occurrence, ties to
     the smaller token. TakeOrdered (per-partition top-n merge), not a
@@ -1855,6 +1876,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tokens": q_text_tokens,
         "text_vocab": q_text_vocab,
         "text_pii_scrub": q_text_pii_scrub,
+        "text_pack_bins": q_text_pack_bins,
+        "text_chunks": q_text_chunks,
         "text_source_stats": q_text_source_stats,
         "sample_stratified": q_sample_stratified,
         "text_fingerprint": q_text_fingerprint,
@@ -2102,6 +2125,36 @@ def oracle_sql() -> dict[str, str]:
                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
                      '\\+?[0-9]{3}[- .][0-9]{3}[- .][0-9]{3,4}', '[PHONE]', 'g') AS scrubbed
             FROM events WHERE event_id % 250 = 0 ORDER BY event_id
+        """,
+        "text_pack_bins": f"""
+            WITH t AS (
+              SELECT doc_id, source, len({_duck_tokens('text')}) AS n_tokens
+              FROM documents
+            ), c AS (
+              SELECT doc_id, source, n_tokens,
+                CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS before
+              FROM t
+            )
+            SELECT doc_id, source, n_tokens,
+                   CAST(floor(CAST(before AS DOUBLE) / 512) AS BIGINT) AS bin,
+                   before % 512 AS bin_offset
+            FROM c ORDER BY source, doc_id
+        """,
+        "text_chunks": f"""
+            WITH t AS (
+              SELECT doc_id, {_duck_tokens('text')} AS toks FROM documents
+              WHERE doc_id % 25 = 3
+            ), e AS (
+              SELECT doc_id, toks, len(toks) AS n,
+                     unnest(range(0, len(toks), 30)) AS token_start
+              FROM t WHERE len(toks) > 0
+            )
+            SELECT doc_id, token_start,
+                   least(40, n - token_start) AS chunk_len,
+                   array_to_string(list_slice(toks, token_start + 1,
+                     token_start + least(40, n - token_start)), ' ') AS chunk_text
+            FROM e ORDER BY doc_id, token_start
         """,
         "text_vocab": f"""
             SELECT token, count(*) AS n_occ FROM (

@@ -177,6 +177,72 @@ def source_stats(df: DataFrame, text_col: str = "text", group_col: str = "source
     )
 
 
+def pack_bins(
+    df: DataFrame,
+    budget: int,
+    text_col: str = "text",
+    order_col: str = "doc_id",
+    shard_col: str | None = None,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing (GPT-style pretraining prep):
+    documents are laid end-to-end in order_col order and cut into
+    token-budget bins — bin = floor(tokens_before / budget), offset =
+    tokens_before % budget. One running-sum window; at scale pass
+    shard_col (packing is per-shard in production pipelines) so the
+    window partitions instead of globally sorting."""
+    from pyspark.sql import Window
+
+    n = token_count_expr(text_col)
+    w = (
+        Window.partitionBy(shard_col) if shard_col else Window.partitionBy()
+    ).orderBy(order_col).rowsBetween(Window.unboundedPreceding, -1)
+    before = F.coalesce(F.sum(n).over(w), F.lit(0))
+    cols = [order_col] + ([shard_col] if shard_col else [])
+    return df.select(
+        *cols,
+        n.alias("n_tokens"),
+        F.floor(before / F.lit(budget)).alias("bin"),
+        (before % F.lit(budget)).alias("bin_offset"),
+    )
+
+
+def chunk_tokens(
+    df: DataFrame,
+    size: int,
+    overlap: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window document chunking (embedding-corpus prep): one
+    row per (doc, window) with the chunk text — starts at 0, size-
+    overlap, 2*(size-overlap), ... while < n_tokens. 1:N explode, all
+    Catalyst; empty docs yield no chunks."""
+    if overlap >= size:
+        raise ValueError("overlap must be < size")
+    step = size - overlap
+    toks = tokens_expr(text_col)
+    base = df.select(
+        id_col, toks.alias("__toks"), F.size(toks).alias("__n")
+    ).where(F.col("__n") > 0)
+    out = base.select(
+        id_col,
+        "__toks",
+        "__n",
+        F.explode(
+            F.sequence(F.lit(0), F.col("__n") - 1, F.lit(step))
+        ).alias("token_start"),
+    )
+    chunk_len = F.least(F.lit(size), F.col("__n") - F.col("token_start"))
+    return out.select(
+        id_col,
+        "token_start",
+        chunk_len.alias("chunk_len"),
+        F.array_join(
+            F.slice(F.col("__toks"), F.col("token_start") + 1, chunk_len), " "
+        ).alias("chunk_text"),
+    )
+
+
 def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach all four analysis columns in one projection (single pass)."""
     return df.select(

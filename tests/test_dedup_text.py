@@ -350,3 +350,29 @@ def test_ann_lsh_recall_vs_exact(spark):
     assert r6 >= 0.08, r6
     assert r3 >= r6, (r3, r6)
     assert r3 >= 0.25, r3
+
+
+def test_pack_bins_and_chunk_tokens(spark, docs):
+    packed = {
+        r["doc_id"]: r
+        for r in text.pack_bins(docs, budget=20, order_col="doc_id").collect()
+    }
+    # offsets are cumulative mod budget, bins monotone in doc order
+    before = 0
+    for did in sorted(packed):
+        r = packed[did]
+        assert r["bin"] == before // 20 and r["bin_offset"] == before % 20
+        before += r["n_tokens"]
+    chunks = text.chunk_tokens(docs, size=5, overlap=2).collect()
+    by_doc: dict[int, list] = {}
+    for r in chunks:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 7 not in by_doc  # empty doc yields no chunks
+    for did, rows in by_doc.items():
+        rows.sort(key=lambda r: r["token_start"])
+        starts = [r["token_start"] for r in rows]
+        assert starts == list(range(0, starts[-1] + 1, 3))  # step = size-overlap
+        # chunk lens: full size except possibly the tail windows
+        assert all(r["chunk_len"] >= 1 and r["chunk_len"] <= 5 for r in rows)
+        # text reconstructs from tokens
+        assert all(len(r["chunk_text"].split(" ")) == r["chunk_len"] for r in rows)

@@ -168,6 +168,16 @@ def lsh_bucketed_topk(
     )
 
 
+# NOTE (measured negative result): an Arrow pandas_udf cosine scorer
+# for the bucketed candidate joins (per-dim sequential accumulation,
+# bit-identical to the fold) was tried and REVERTED — per-row
+# list->ndarray conversion at the Arrow boundary made it 4-9x SLOWER
+# than the interpreted JVM fold (embedding_near_dup 1.5s -> 13.4s at
+# sf0.1). The fold + precomputed per-row norms stays; Arrow wins only
+# where it amortizes per-row overhead into matrix work (kmeans
+# assignment, PIP winding refine).
+
+
 QUANT_SCALE = 1 << 20  # fixed-point centroid quantum (see kmeans_centroids)
 
 

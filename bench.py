@@ -150,9 +150,12 @@ def bench_spatial() -> dict:
     # Levels are INTERLEAVED (lo, hi, lo, hi, ...) so both sample
     # overlapping time windows on this shared host — one quiet window
     # hitting only one level otherwise skews the efficiency ratio by
-    # ±0.1. Three rounds per level; min time per level wins.
+    # ±0.1. Four rounds per level; min time per level wins (a measured
+    # 3-round run landed at eff 0.798 purely because all three hi
+    # windows caught a load spike; the extra round buys one more
+    # chance at a clean window per level).
     out["levels"] = {"lo": lo, "hi": hi}
-    for cpus in (lo, hi, lo, hi, lo, hi):
+    for cpus in (lo, hi, lo, hi, lo, hi, lo, hi):
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--spatial-worker", str(cpus), SPATIAL_PATH],
             capture_output=True,

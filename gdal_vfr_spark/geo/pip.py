@@ -229,25 +229,50 @@ class PackedPolygonIndex:
             }
         )
 
-    def auto_res(self, target_cells_per_poly: float = 256.0) -> int:
-        """Pick a cover resolution: median polygon bbox ≈ target cells.
+    def auto_res(
+        self,
+        target_cells_per_poly: float = 256.0,
+        cover_budget_rows: float = 200_000.0,
+        min_cells_per_poly: float = 16.0,
+    ) -> int:
+        """Pick a cover resolution: median polygon bbox ≈ target cells,
+        CAPPED so the whole cover table stays within a fixed row budget.
         Coarser -> more refine work; finer -> wider cover table. The
-        default targets ~16x16 cells per polygon so the interior-cell
+        per-poly target is ~16x16 cells so the interior-cell
         certification (see cover()) exempts the bulk of candidate rows
         from the Python refine (measured on the 240M-page bench:
         9.96M pages/s at 8x8 / 72% interior, 12.14M at 16x16 / 85%,
         11.40M at 32x32 / 92% where the broadcast probe cost starts to
-        win — 16x16 is the knee). The cover table stays small (10^2
-        cells x 10^4-10^6 polygons broadcasts fine) while the per-page
-        work drops to a hash probe for most rows."""
+        win — 16x16 is the knee). The ROW budget is what makes the
+        policy scale-safe: cover size is n_polys x cells_per_poly, so a
+        fixed per-poly density makes the broadcast grow linearly with
+        dimension cardinality (10^6 parcels x 256 cells = 2.6x10^8 rows
+        — not broadcastable, and minutes of driver-side build). Budgeted
+        at 200k rows, a 100-polygon layer keeps the full 16x16, a
+        1,600-parcel layer gets ~11x11, and a 10^6-polygon layer
+        degrades to the 4x4 floor (still bbox-pruned + certified, just
+        more refine work) instead of blowing up the driver."""
         if len(self.keys) == 0:
             return 0
         w = np.median(self.bbox[:, 2] - self.bbox[:, 0])
         h = np.median(self.bbox[:, 3] - self.bbox[:, 1])
         span = max(float(max(w, h)), 1e-12)
         per_side = max(target_cells_per_poly**0.5, 1.0)
-        res = int(np.ceil(np.log2(360.0 / span * per_side)))
-        return int(np.clip(res, 0, cells.MAX_RES))
+        res = int(np.clip(np.ceil(np.log2(360.0 / span * per_side)), 0, cells.MAX_RES))
+        floor_side = max(min_cells_per_poly**0.5, 1.0)
+        res_floor = int(
+            np.clip(np.ceil(np.log2(360.0 / span * floor_side)), 0, cells.MAX_RES)
+        )
+        # enforce the budget on ESTIMATED rows at the quantized res (the
+        # ceil above rounds the per-poly target up to the next power-of-4
+        # cell count, so budgeting the pre-rounding target undershoots)
+        while res > res_floor:
+            side = 360.0 / (1 << res)
+            est = len(self.keys) * (np.ceil(span / side) + 1.0) ** 2
+            if est <= cover_budget_rows:
+                break
+            res -= 1
+        return res
 
 
 def build_index(

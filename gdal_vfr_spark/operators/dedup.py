@@ -356,12 +356,16 @@ def connected_components(
     symmetric edge list and takes the min over neighbors — one shuffle
     per round, converging in O(component diameter) rounds. Near-dup
     clusters in web corpora have tiny diameters (dups of a page are
-    dups of each other), so rounds stay in the low single digits; for
-    adversarial long-chain graphs swap in alternating large-star/
-    small-star (same join shape per round, O(log n) rounds total).
-    Lineage is cut per round with localCheckpoint so the plan doesn't
-    grow superlinearly; the driver-side loop only ever collects a
-    scalar convergence count."""
+    dups of each other), so rounds stay in the low single digits; from
+    round 3 on, a pointer-jumping step (label <- label(label), path
+    halving) kicks in so adversarial long-chain graphs converge in
+    O(log diameter) rounds instead — the halving join is skipped for
+    the common shallow graphs that converge before it engages.
+    Pointer-jumping preserves the invariant "label is reachable and
+    <= node": label(u)=v means v is reachable from u, so label(v) is
+    too. Lineage is cut per round with localCheckpoint so the plan
+    doesn't grow superlinearly; the driver-side loop only ever
+    collects a scalar convergence count."""
     # symmetrize with ONE scan of pairs (explode, not union: the pairs
     # plan is usually an un-cached LSH join — a union would run it twice)
     edges = (
@@ -380,7 +384,7 @@ def connected_components(
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )
-    for _ in range(max_iter):
+    for it in range(max_iter):
         nb_min = (
             edges.join(
                 labels.select(F.col("node").alias("dst"), F.col("label").alias("dl")),
@@ -393,13 +397,32 @@ def connected_components(
             nb_min.select(F.col("src").alias("node"), "nb_label"), "node", "left"
         ).select(
             "node",
-            "label",
-            F.least(F.col("label"), F.coalesce("nb_label", "label")).alias("new_label"),
+            F.least(F.col("label"), F.coalesce("nb_label", "label")).alias("label"),
+            (F.coalesce("nb_label", "label") < F.col("label")).alias("chg"),
         )
-        changed = stepped.where(F.col("new_label") < F.col("label")).count()
-        labels = stepped.select(
-            "node", F.col("new_label").alias("label")
-        ).localCheckpoint()
+        if it >= 2:
+            # pointer jumping: label <- min(label, label(label)). Every
+            # label value is itself a node (labels start as node ids and
+            # min-over-neighbors only moves node ids around), so the
+            # self-join always finds its row; coalesce guards the
+            # left-join anyway.
+            parent = stepped.select(
+                F.col("node").alias("label"), F.col("label").alias("plabel")
+            )
+            stepped = stepped.join(parent, "label", "left").select(
+                "node",
+                F.least(F.col("label"), F.coalesce("plabel", "label")).alias("label"),
+                (
+                    F.col("chg") | (F.coalesce("plabel", "label") < F.col("label"))
+                ).alias("chg"),
+            )
+        # checkpoint FIRST (eager), then read the change tally off the
+        # materialized rows — counting the un-checkpointed plan would
+        # execute the round's joins twice (once for the count, once for
+        # the eager localCheckpoint)
+        stepped = stepped.localCheckpoint()
+        changed = stepped.where("chg").count()
+        labels = stepped.select("node", "label")
         if changed == 0:
             break
     edges.unpersist()

@@ -84,6 +84,22 @@ def test_connected_components_star_and_chain(spark):
     assert got == {1: 1, 3: 1, 5: 1, 10: 10, 11: 10, 12: 10, 13: 10, 20: 20, 21: 20}
 
 
+def test_connected_components_long_chain_log_rounds(spark):
+    # 64-node chain 100-101-...-163: plain min-label propagation needs 63
+    # rounds; pointer jumping (engaged from round 3) must collapse it to
+    # component 100 within max_iter=15 ~ O(log diameter).
+    pdf = pd.DataFrame(
+        [(100 + i, 100 + i + 1) for i in range(63)], columns=["id_a", "id_b"]
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in dedup.connected_components(
+            spark.createDataFrame(pdf), node_col="node", max_iter=15
+        ).collect()
+    }
+    assert got == {100 + i: 100 for i in range(64)}
+
+
 def test_assign_components_includes_singletons(spark, docs):
     pairs = dedup.minhash_lsh_pairs(docs, num_hashes=16, bands=8).where(
         F.col("jaccard_est") >= 0.5

@@ -1266,6 +1266,105 @@ def q_dedup_simhash(spark, sf_dir):
     )
 
 
+# Synthesized per-doc hosts (the documents fixture has no URL column;
+# the f7/f9/pii pattern: derive deterministic inputs from ids with
+# identical arithmetic in both engines). Chosen to exercise the whole
+# registered-domain heuristic: shared registered domains across
+# subdomains, two-level public suffixes, a single-host domain, and one
+# mixed-case host (host extraction must lowercase).
+_WEB_HOSTS = [
+    "www.alpha-news.com",
+    "blog.alpha-news.com",
+    "media.beta.co.uk",
+    "shop.beta.co.uk",
+    "gamma.org",
+    "CDN.Gamma.org",
+    "delta-portal.cz",
+    "archive.example.ac.uk",
+]
+
+
+def _web_urls_df(spark, sf_dir):
+    """documents + a deterministic absolute URL per doc. Every 16th doc
+    (doc_id % 16 == 3) gets userinfo@ and an explicit :port so the host
+    regex strips both paths of the authority grammar."""
+    docs = _read(spark, sf_dir, "documents")
+    hosts = F.array(*[F.lit(h) for h in _WEB_HOSTS])
+    h = F.element_at(hosts, (F.col("doc_id") % 8 + 1).cast("int"))
+    auth = F.when(
+        F.col("doc_id") % 16 == 3, F.concat(F.lit("user:pw@"), h, F.lit(":8443"))
+    ).otherwise(h)
+    url = F.concat(
+        F.lit("https://"), auth, F.lit("/"), F.col("source"), F.lit("/"),
+        F.col("doc_id").cast("string"),
+    )
+    return docs.select("doc_id", "n_chars", url.alias("url"))
+
+
+def _web_urls_sql() -> str:
+    hosts = ", ".join(f"'{h}'" for h in _WEB_HOSTS)
+    return f"""
+        SELECT doc_id, n_chars,
+               'https://' || CASE WHEN doc_id % 16 = 3
+                                  THEN 'user:pw@' || h || ':8443' ELSE h END
+                 || '/' || source || '/' || CAST(doc_id AS VARCHAR) AS url
+        FROM (SELECT *, [{hosts}][CAST(doc_id % 8 + 1 AS INT)] AS h
+              FROM documents)
+    """
+
+
+_WEB_SUFFIXES_SQL = ", ".join(
+    f"'{s}'" for s in (
+        "ac.uk", "co.jp", "co.nz", "co.uk", "com.au", "com.br", "gov.uk", "org.uk"
+    )
+)
+
+_WEB_PARTS_SQL = f"""
+        SELECT doc_id, n_chars, host,
+               CASE WHEN len(l) >= 3 AND (l[-2] || '.' || l[-1])
+                         IN ({_WEB_SUFFIXES_SQL})
+                    THEN l[-3] || '.' || l[-2] || '.' || l[-1]
+                    WHEN len(l) >= 2 THEN l[-2] || '.' || l[-1]
+                    ELSE host END AS registered_domain
+        FROM (SELECT doc_id, n_chars, host, string_split(host, '.') AS l
+              FROM (SELECT doc_id, n_chars,
+                           lower(regexp_extract(url,
+                             '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)',
+                             1)) AS host
+                    FROM ({{urls}})))
+"""
+
+
+def q_web_domain_stats(spark, sf_dir):
+    """Per-registered-domain corpus stats over synthesized URLs: host
+    extraction (RFC 3986 authority, userinfo/port stripped, lowercased)
+    -> registered-domain heuristic (public-suffix-aware last-2/3
+    labels) -> one hash aggregate. Pure Catalyst; the per-domain key is
+    the Zipf-skewed one real crawls shuffle on (functions/urls.py)."""
+    from gdal_vfr_spark.functions import urls as url_fns
+
+    df = _web_urls_df(spark, sf_dir)
+    return (
+        url_fns.domain_stats(df, size_col="n_chars")
+        .select("registered_domain", "n_docs", "n_hosts", "sum_size")
+        .orderBy("registered_domain")
+    )
+
+
+def q_web_cap_per_domain(spark, sf_dir):
+    """Per-domain document quota (C4/RefinedWeb-style anti-megasite
+    cap): keep the 3 largest docs (by n_chars, ties to smaller doc_id)
+    per registered domain. One window shuffle on the domain key."""
+    from gdal_vfr_spark.functions import urls as url_fns
+
+    df = _web_urls_df(spark, sf_dir)
+    return (
+        url_fns.cap_per_domain(df, 3, order_by=[F.desc("n_chars")])
+        .select("registered_domain", "host", "doc_id", "n_chars")
+        .orderBy("registered_domain", "doc_id")
+    )
+
+
 def q_text_lang(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
     return (
@@ -1916,6 +2015,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cc": q_dedup_cc,
         "dedup_keep_best": q_dedup_keep_best,
         "asof_join": q_asof_join,
+        "web_domain_stats": q_web_domain_stats,
+        "web_cap_per_domain": q_web_cap_per_domain,
     }
 
 
@@ -2446,5 +2547,21 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'originalni_hranice' END AS src,
                    CAST(102 AS INT) AS geom_len
             FROM obce ORDER BY kod
+        """,
+        "web_domain_stats": f"""
+            WITH parts AS ({_WEB_PARTS_SQL.format(urls=_web_urls_sql())})
+            SELECT registered_domain, count(*) AS n_docs,
+                   count(DISTINCT host) AS n_hosts,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_size
+            FROM parts GROUP BY registered_domain ORDER BY registered_domain
+        """,
+        "web_cap_per_domain": f"""
+            WITH parts AS ({_WEB_PARTS_SQL.format(urls=_web_urls_sql())})
+            SELECT registered_domain, host, doc_id, n_chars
+            FROM (SELECT *, row_number() OVER (
+                    PARTITION BY registered_domain
+                    ORDER BY n_chars DESC, doc_id) AS rn
+                  FROM parts)
+            WHERE rn <= 3 ORDER BY registered_domain, doc_id
         """,
     }

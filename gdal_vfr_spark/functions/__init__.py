@@ -13,3 +13,10 @@ from gdal_vfr_spark.functions.text_expr import (  # noqa: F401
     minhash_signature_expr,
     band_keys_expr,
 )
+from gdal_vfr_spark.functions.urls import (  # noqa: F401
+    host_expr,
+    registered_domain_expr,
+    with_url_parts,
+    domain_stats,
+    cap_per_domain,
+)

@@ -1,0 +1,123 @@
+"""URL analytics for the web-corpus side: host extraction, a
+registered-domain heuristic, and per-domain policies (stats, caps).
+
+The reference engine's analogue is its layer-code munging — the pure
+string functions that normalize feature identity before grouping
+(vfr4ogr/vfrogr.py:885 key synthesis, utils.py:178-180 extension
+dispatch). A web-corpus engine needs the same move one level up:
+documents group by the REGISTERED DOMAIN of their URL, which is what
+per-domain quotas, per-site quality priors, and domain-level dedup in
+training-data pipelines key on (C4/RefinedWeb-style per-domain caps).
+
+Everything here is a pure Catalyst expression chain — JVM regex and
+array ops inside whole-stage codegen, zero Python boundary — so the
+hot path scales like any other projection. The regex subset is valid
+and equivalent in Java (Spark) and RE2 (DuckDB oracle): no
+backreferences, no lookaround, explicit character classes.
+
+Scale note: per-domain groupBy/windows shuffle on the registered
+domain, which is Zipf-skewed in real crawls (a few megasites own a
+large share of pages). The skew machinery (plans/skew.py: hot-key
+sampling + salted repartition, AQE skew splitting) applies to this key
+exactly as it does to the megacity cell key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Authority = everything between "://" (plus optional userinfo@) and
+# the first "/", "?", "#" or ":" (port). Lowercased afterwards: host
+# names are case-insensitive (RFC 3986 §3.2.2), paths are not.
+_HOST_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)"
+
+# Two-level public suffixes the heuristic recognizes. A production
+# deployment would broadcast-join the full public-suffix list (a
+# ~10^4-row dimension table — trivially broadcastable); the heuristic
+# keeps the function dependency-free and the cross-engine oracle
+# byte-identical. Kept sorted and lowercase.
+SECOND_LEVEL_SUFFIXES = (
+    "ac.uk",
+    "co.jp",
+    "co.nz",
+    "co.uk",
+    "com.au",
+    "com.br",
+    "gov.uk",
+    "org.uk",
+)
+
+
+def host_expr(url: Column | str) -> Column:
+    """Lowercased host of an absolute URL ('' when the URL has no
+    scheme://authority part — bad rows group together and are easy to
+    filter, instead of poisoning a NULL-keyed partition)."""
+    url = F.col(url) if isinstance(url, str) else url
+    return F.lower(F.regexp_extract(url, _HOST_RE, 1))
+
+
+def registered_domain_expr(host: Column | str) -> Column:
+    """Registered domain of a host: the last two labels, or the last
+    THREE when the host ends in a recognized two-level public suffix
+    (shop.beta.co.uk -> beta.co.uk, not co.uk). Hosts with fewer than
+    two labels pass through unchanged."""
+    host = F.col(host) if isinstance(host, str) else host
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    suffix2 = F.concat_ws(".", F.element_at(labels, -2), F.element_at(labels, -1))
+    suffix3 = F.concat_ws(".", F.element_at(labels, -3), suffix2)
+    is_2l_suffix = suffix2.isin(*SECOND_LEVEL_SUFFIXES)
+    return (
+        F.when((n >= 3) & is_2l_suffix, suffix3)
+        .when(n >= 2, suffix2)
+        .otherwise(host)
+    )
+
+
+def with_url_parts(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Append host + registered_domain columns (chained projections —
+    stays inside whole-stage codegen like the text ops)."""
+    out = df.withColumn("host", host_expr(url_col))
+    return out.withColumn("registered_domain", registered_domain_expr("host"))
+
+
+def domain_stats(
+    df: DataFrame, url_col: str = "url", size_col: str | None = None
+) -> DataFrame:
+    """Per-registered-domain corpus stats: page count, distinct hosts,
+    and (optionally) total payload size. One partial+final hash
+    aggregate; all outputs are order-free integers so the cross-engine
+    oracle is exact."""
+    parts = with_url_parts(df, url_col)
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("host").alias("n_hosts"),
+    ]
+    if size_col is not None:
+        aggs.append(F.sum(size_col).alias("sum_size"))
+    return parts.groupBy("registered_domain").agg(*aggs)
+
+
+def cap_per_domain(
+    df: DataFrame,
+    max_docs: int,
+    url_col: str = "url",
+    order_by: list[Column] | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep at most ``max_docs`` documents per registered domain — the
+    standard anti-megasite quota in training-data pipelines. Which
+    docs survive is deterministic: ``order_by`` ranks within the
+    domain (default: by ``id_col``), ties broken by ``id_col``. One
+    window shuffle on the domain key; at crawl scale pair with the
+    skew plans for the megasite domains."""
+    order = list(order_by) if order_by else []
+    order.append(F.asc(id_col))
+    w = Window.partitionBy("registered_domain").orderBy(*order)
+    return (
+        with_url_parts(df, url_col)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= max_docs)
+        .drop("__rn")
+    )

@@ -1,0 +1,68 @@
+import pandas as pd
+from pyspark.sql import functions as F
+
+from gdal_vfr_spark.functions import urls
+
+
+def _host_and_domain(spark, url_values):
+    df = spark.createDataFrame(pd.DataFrame({"url": url_values}))
+    rows = urls.with_url_parts(df).select("url", "host", "registered_domain").collect()
+    return {r["url"]: (r["host"], r["registered_domain"]) for r in rows}
+
+
+def test_host_extraction_authority_grammar(spark):
+    got = _host_and_domain(
+        spark,
+        [
+            "https://www.Example.COM/path?q=1",
+            "http://user:pw@shop.beta.co.uk:8443/x",
+            "https://gamma.org",
+            "ftp+ssh://a.b.c.d.example.org/file",
+            "not-a-url",
+            "https://localhost/x",
+        ],
+    )
+    assert got["https://www.Example.COM/path?q=1"] == ("www.example.com", "example.com")
+    # userinfo and port are stripped; co.uk is a two-level suffix
+    assert got["http://user:pw@shop.beta.co.uk:8443/x"] == (
+        "shop.beta.co.uk",
+        "beta.co.uk",
+    )
+    assert got["https://gamma.org"] == ("gamma.org", "gamma.org")
+    # deep subdomains collapse to the last two labels
+    assert got["ftp+ssh://a.b.c.d.example.org/file"] == (
+        "a.b.c.d.example.org",
+        "example.org",
+    )
+    # schemeless input -> '' host (groups bad rows, never NULL-keys)
+    assert got["not-a-url"] == ("", "")
+    # single-label host passes through
+    assert got["https://localhost/x"] == ("localhost", "localhost")
+
+
+def test_domain_stats_and_cap(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(6),
+            "url": [
+                "https://a.x.com/1",
+                "https://b.x.com/2",
+                "https://a.x.com/3",
+                "https://y.org/4",
+                "https://a.x.com/5",
+                "https://y.org/6",
+            ],
+            "n_chars": [10, 20, 30, 40, 50, 60],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    stats = {
+        r["registered_domain"]: (r["n_docs"], r["n_hosts"], r["sum_size"])
+        for r in urls.domain_stats(df, size_col="n_chars").collect()
+    }
+    assert stats == {"x.com": (4, 2, 110), "y.org": (2, 1, 100)}
+
+    kept = urls.cap_per_domain(df, 2, order_by=[F.desc("n_chars")])
+    got = sorted((r["registered_domain"], r["doc_id"]) for r in kept.collect())
+    # x.com keeps the two largest (doc 4: 50, doc 2: 30); y.org keeps both
+    assert got == [("x.com", 2), ("x.com", 4), ("y.org", 3), ("y.org", 5)]

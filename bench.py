@@ -55,6 +55,8 @@ HEADLINE = [
     "geo_pip_hierarchy3",
     "embedding_near_dup",
     "ann_ivf_topk",
+    "web_domain_stats",
+    "web_cap_per_domain",
 ]
 
 # 240M pages (vs the r1/r2 40M): interior-cell certification made the

@@ -535,9 +535,10 @@ def _duck_ivf_topk_sql(
     ) + "]"
     ctes = [
         f"""c0 AS (
-      SELECT CAST(vec_id AS INT) AS cid,
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
-      FROM embeddings WHERE vec_id < {n_centroids})"""
+      FROM (SELECT vec_id, embedding FROM embeddings
+            ORDER BY vec_id LIMIT {n_centroids}))"""
     ]
     for t in range(1, n_iter + 1):
         ctes.append(f"""a{t} AS (
@@ -1943,7 +1944,36 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDERING CONTRACT: the driver's CORRECTNESS harness records the
+    # FIRST 50 entries of this dict. Entries are therefore ordered
+    # newest-evidence-first: queries without a green driver row yet
+    # (round-2 additions + this round's) come first; the long-stable
+    # r01/r02-green queries sit at the back (their green rows live in
+    # CORRECTNESS_r01/r02.json, committed).
     return {
+        "dedup_cc": q_dedup_cc,
+        "dedup_keep_best": q_dedup_keep_best,
+        "dedup_representatives": q_dedup_representatives,
+        "ann_topk": q_ann_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivf_indexed": q_ann_ivf_indexed,
+        "embedding_near_dup_exact": q_embedding_near_dup_exact,
+        "embedding_near_dup": q_embedding_near_dup,
+        "geo_pip_hierarchy": q_geo_pip_hierarchy,
+        "geo_pip_hierarchy3": q_geo_pip_hierarchy3,
+        "asof_join": q_asof_join,
+        "web_domain_stats": q_web_domain_stats,
+        "web_cap_per_domain": q_web_cap_per_domain,
+        "multimodal_meta": q_multimodal_meta,
+        "multimodal_frames": q_multimodal_frames,
+        "s4_formats": q_s4_formats,
+        "f9_dsn_extract": q_f9_dsn_extract,
+        "f5_key_synthesis": q_f5_key_synthesis,
+        "a5_max_fid": q_a5_max_fid,
+        "p2_key_lookup": q_p2_key_lookup,
+        "m3_merge_state": q_m3_merge_state,
+        "so2_union": q_so2_union,
         "a1_pricing_summary": q_a1_pricing_summary,
         "a2_presence": q_a2_presence,
         "a4_null_tally": q_a4_null_tally,
@@ -1994,29 +2024,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p5_list_downgrade": q_p5_list_downgrade,
         "f7_regex_extract": q_f7_regex_extract,
         "p6_align_schema": q_p6_align_schema,
-        "s4_formats": q_s4_formats,
-        "f9_dsn_extract": q_f9_dsn_extract,
-        "ann_topk": q_ann_topk,
-        "embedding_near_dup_exact": q_embedding_near_dup_exact,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "ann_ivf_indexed": q_ann_ivf_indexed,
-        "multimodal_meta": q_multimodal_meta,
-        "multimodal_frames": q_multimodal_frames,
-        "embedding_near_dup": q_embedding_near_dup,
-        "geo_pip_hierarchy": q_geo_pip_hierarchy,
-        "geo_pip_hierarchy3": q_geo_pip_hierarchy3,
-        "so2_union": q_so2_union,
-        "a5_max_fid": q_a5_max_fid,
-        "p2_key_lookup": q_p2_key_lookup,
-        "m3_merge_state": q_m3_merge_state,
-        "f5_key_synthesis": q_f5_key_synthesis,
-        "dedup_representatives": q_dedup_representatives,
-        "dedup_cc": q_dedup_cc,
-        "dedup_keep_best": q_dedup_keep_best,
-        "asof_join": q_asof_join,
-        "web_domain_stats": q_web_domain_stats,
-        "web_cap_per_domain": q_web_cap_per_domain,
     }
 
 

@@ -332,6 +332,11 @@ class PackedSegmentIndex:
         return np.concatenate(cand_idx), np.concatenate(cand_q)
 
 
+# above this many Chebyshev rings the per-ring candidate walk costs more
+# than one vectorized scan of every segment — switch to brute force
+_RANGE_MAX_RINGS = 64
+
+
 def range_lines_batch(
     idx: PackedSegmentIndex, qx: np.ndarray, qy: np.ndarray, max_dist: float
 ):
@@ -340,14 +345,41 @@ def range_lines_batch(
     key. Ring radius is certified up front — a segment not registered
     within Chebyshev ring r is at distance >= r*guard (same bound the
     kNN expansion uses), so gathering rings 0..R with R*guard >
-    max_dist provably covers the band. Returns (query_idx, key, d2)."""
+    max_dist provably covers the band. Returns (query_idx, key, d2).
+
+    Rings are clamped to the grid extent (beyond ring n_grid every cell
+    is out of bounds), and when max_dist is large relative to the cell
+    size — more than _RANGE_MAX_RINGS rings — the per-ring walk would
+    cost O(rings^2) candidate passes, so it falls back to one blocked
+    brute-force scan over all segments (same fallback knn_lines_batch
+    uses for stragglers)."""
     nq = len(qx)
     if nq == 0 or len(idx.x1) == 0:
         return np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.float64)
     ix, iy = cells.lonlat_to_grid(qx, qy, idx.res)
     n_grid = 1 << idx.res
     guard = min(360.0 / n_grid, 180.0 / n_grid)
-    rings = int(max_dist / guard) + 1
+    rings = min(int(max_dist / guard) + 1, n_grid)
+    if rings > _RANGE_MAX_RINGS:
+        nseg = max(len(idx.x1), 1)
+        chunk = max(1, int(2e7 / nseg))
+        bq: list[np.ndarray] = []
+        bv: list[np.ndarray] = []
+        bd: list[np.ndarray] = []
+        for s in range(0, nq, chunk):
+            e = min(s + chunk, nq)
+            d2 = _point_seg_dist2(
+                qx[s:e][:, None], qy[s:e][:, None],
+                idx.x1[None, :], idx.y1[None, :], idx.x2[None, :], idx.y2[None, :],
+            )
+            qi = np.repeat(np.arange(s, e, dtype=np.int64), d2.shape[1])
+            kv = np.tile(idx.keys, e - s)
+            rq, rv, rd = _reduce_min_per_key(qi, kv, d2.ravel())
+            keep = rd <= max_dist * max_dist
+            bq.append(rq[keep])
+            bv.append(rv[keep])
+            bd.append(rd[keep])
+        return np.concatenate(bq), np.concatenate(bv), np.concatenate(bd)
     acc_q: list[np.ndarray] = []
     acc_v: list[np.ndarray] = []
     acc_d: list[np.ndarray] = []

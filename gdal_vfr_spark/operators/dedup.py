@@ -425,6 +425,17 @@ def connected_components(
         labels = stepped.select("node", "label")
         if changed == 0:
             break
+    else:
+        # exhausting max_iter without convergence means the labels are
+        # only partially propagated — silently returning them would make
+        # downstream keep/drop policies act on WRONG component ids
+        edges.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in max_iter={max_iter} "
+            f"rounds ({changed} labels still changing); raise max_iter "
+            "(pointer-jumping makes rounds O(log diameter), so this "
+            "indicates a pathological graph, not normal data)"
+        )
     edges.unpersist()
     return labels.select(F.col("node").alias(node_col), F.col("label").alias(label_col))
 

@@ -311,7 +311,10 @@ def kmeans_centroids(
 ) -> list[tuple[int, list[float]]]:
     """Deterministic Lloyd's k-means for the IVF coarse quantizer.
 
-    Init = the k smallest-id vectors (deterministic, SQL-replicable).
+    Init = the k smallest-id vectors, relabelled cid 0..k-1 in id order
+    (deterministic, SQL-replicable via row_number over ORDER BY id, and
+    independent of the corpus id scheme — ids need not be dense or
+    0-based). Raises if the corpus has fewer than k rows.
     Each iteration: map-side nearest-centroid assignment (fold over
     literal centroids, no shuffle), then ONE partial+final aggregation
     keyed by cid. Centroid means use FIXED-POINT sums —
@@ -330,12 +333,13 @@ def kmeans_centroids(
     centroid array re-codegens per call), so it exists for oracle
     parity, not for the hot path."""
     seeds = (
-        corpus.where(F.col(id_col) < k)
-        .select(F.col(id_col).cast("int").alias("cid"), vec_col)
-        .orderBy("cid")
-        .collect()
+        corpus.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
     )
-    cents = [(int(r["cid"]), [float(x) for x in r[vec_col]]) for r in seeds]
+    if len(seeds) < k:
+        raise ValueError(
+            f"kmeans_centroids: corpus has {len(seeds)} rows < k={k} seeds"
+        )
+    cents = [(i, [float(x) for x in r[vec_col]]) for i, r in enumerate(seeds)]
     scale = float(QUANT_SCALE)
     for _ in range(n_iter):
         cid_col = (

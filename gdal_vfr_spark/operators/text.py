@@ -189,9 +189,21 @@ def pack_bins(
     token-budget bins — bin = floor(tokens_before / budget), offset =
     tokens_before % budget. One running-sum window; at scale pass
     shard_col (packing is per-shard in production pipelines) so the
-    window partitions instead of globally sorting."""
+    window partitions instead of globally sorting. Omitting shard_col
+    emits a loud warning: the unpartitioned window funnels the whole
+    table through ONE reducer — fine for a unit test, a stall at
+    corpus scale."""
     from pyspark.sql import Window
 
+    if shard_col is None:
+        import warnings
+
+        warnings.warn(
+            "pack_bins called without shard_col: the running-sum window is "
+            "unpartitioned and will run on a SINGLE reducer. Pass shard_col "
+            "for any corpus-scale input.",
+            stacklevel=2,
+        )
     n = token_count_expr(text_col)
     w = (
         Window.partitionBy(shard_col) if shard_col else Window.partitionBy()

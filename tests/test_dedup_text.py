@@ -392,3 +392,36 @@ def test_pack_bins_and_chunk_tokens(spark, docs):
         assert all(r["chunk_len"] >= 1 and r["chunk_len"] <= 5 for r in rows)
         # text reconstructs from tokens
         assert all(len(r["chunk_text"].split(" ")) == r["chunk_len"] for r in rows)
+
+
+def test_kmeans_seeds_id_scheme_independent(spark):
+    """Seeds are the k smallest-id vectors relabelled 0..k-1, so the
+    centroids must be identical under any monotone id remapping (ids
+    need not be dense or 0-based), and a corpus smaller than k must
+    raise instead of silently training fewer clusters."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = similarity.kmeans_centroids(emb, k=8, n_iter=2)
+    shifted = emb.select((F.col("vec_id") + 1000).alias("vec_id"), "embedding")
+    assert similarity.kmeans_centroids(shifted, k=8, n_iter=2) == base
+    sparse = emb.select((F.col("vec_id") * 17 + 3).alias("vec_id"), "embedding")
+    assert similarity.kmeans_centroids(sparse, k=8, n_iter=2) == base
+    with pytest.raises(ValueError, match="rows < k"):
+        similarity.kmeans_centroids(emb.where(F.col("vec_id") < 3), k=8, n_iter=1)
+
+
+def test_pack_bins_warns_without_shard(spark, docs):
+    with pytest.warns(UserWarning, match="SINGLE reducer"):
+        text.pack_bins(docs, budget=20, order_col="doc_id")
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        text.pack_bins(docs, budget=20, order_col="doc_id", shard_col="doc_id")
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(pairs, max_iter=1)

@@ -275,3 +275,35 @@ def test_range_join_lines_spark(spark):
     # every matched street belongs to a neighboring obec of the point
     # (streets are horizontal segments inside one obec cell)
     assert len({r["url"] for r in out}) <= 2000
+
+
+def test_range_lines_brute_fallback_matches_ring_walk():
+    """A band radius spanning more than _RANGE_MAX_RINGS rings must take
+    the blocked brute-force path and still return exactly the band."""
+    from gdal_vfr_spark.geo.knn import (
+        _RANGE_MAX_RINGS,
+        PackedSegmentIndex,
+        _point_seg_dist2,
+        range_lines_batch,
+    )
+
+    pdf = datagen.gen_ulice_pdf()
+    pairs = [(int(r.kod), bytes(r.definicni_cara)) for r in pdf.itertuples()]
+    idx = PackedSegmentIndex.build(pairs, res=12)
+    guard = 180.0 / (1 << 12)
+    max_dist = 3.0
+    assert int(max_dist / guard) + 1 > _RANGE_MAX_RINGS  # fallback engages
+    rng = np.random.default_rng(7)
+    qx = rng.uniform(14, 15, 50)
+    qy = rng.uniform(49.5, 50.5, 50)
+    qi, keys, d2 = range_lines_batch(idx, qx, qy, max_dist)
+    got = {(int(a), int(b)): float(d) for a, b, d in zip(qi, keys, d2)}
+    for i in range(len(qx)):
+        dd = _point_seg_dist2(qx[i], qy[i], idx.x1, idx.y1, idx.x2, idx.y2)
+        per_key: dict[int, float] = {}
+        for kk, d in zip(idx.keys, dd):
+            per_key[int(kk)] = min(per_key.get(int(kk), np.inf), float(d))
+        want = {kk: d for kk, d in per_key.items() if d <= max_dist * max_dist}
+        assert {k for (q, k) in got if q == i} == set(want)
+        for kk, d in want.items():
+            assert abs(got[(i, kk)] - d) < 1e-12

@@ -57,6 +57,8 @@ HEADLINE = [
     "ann_ivf_topk",
     "web_domain_stats",
     "web_cap_per_domain",
+    # round-3 addition: parcel-scale PIP via the partitioned-index path
+    "geo_pip_parcely_large",
 ]
 
 # 240M pages (vs the r1/r2 40M): interior-cell certification made the

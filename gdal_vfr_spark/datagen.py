@@ -30,6 +30,7 @@ TILE_RES = 15
 OBEC_BASE = 500000
 KU_BASE = 600000
 PAR_BASE = 70000000
+PARL_BASE = 30000000  # large-parcel grid (gen_parcely_large)
 ULICE_BASE = 100000
 BASE_TS = np.datetime64("2024-01-01T00:00:00")
 
@@ -245,6 +246,49 @@ def gen_parcely_pdf(seed: int = 42, per_ku: int = 4) -> pd.DataFrame:
                 )
                 pid += 1
     return pd.DataFrame(rows)
+
+
+def truth_parcel_large(lon: np.ndarray, lat: np.ndarray, n_side: int = 500) -> np.ndarray:
+    """Ground-truth large-parcel kod from floor arithmetic (the layer is
+    a regular n_side x n_side grid over the extent)."""
+    dx = (LON1 - LON0) / n_side
+    dy = (LAT1 - LAT0) / n_side
+    ix = np.clip(np.floor((lon - LON0) / dx).astype(np.int64), 0, n_side - 1)
+    iy = np.clip(np.floor((lat - LAT0) / dy).astype(np.int64), 0, n_side - 1)
+    return PARL_BASE + iy * n_side + ix
+
+
+def gen_parcely_large(spark, n_side: int = 500, densify: int = 1):
+    """Parcel-scale dimension layer: n_side^2 (default 250,000) grid
+    parcels GENERATED DISTRIBUTEDLY — spark.range -> mapInPandas emits
+    WKB per task, so the layer never materializes on the driver (the
+    whole point of the PartitionedPIPJoiner it exercises; the
+    reference's analogue is Parcely, its biggest layer — 3,172 of
+    3,716 features in test_suite/OB_UKSH.xml.gz).
+
+    n_side=500 keeps parcel edges (multiples of 0.002 deg) provably
+    disjoint from the events-geo point lattice (odd multiples of
+    0.0005 deg): (2j+1)/1000 = k/500 would need 2j+1 = 2k — impossible
+    — so no fixture point ever sits ON a parcel edge and containment
+    oracles are exact in float64."""
+    dx = (LON1 - LON0) / n_side
+    dy = (LAT1 - LAT0) / n_side
+
+    def _gen(batches):
+        for pdf in batches:
+            i = pdf["id"].to_numpy(dtype=np.int64)
+            geom = []
+            for k in i:
+                ix, iy = int(k % n_side), int(k // n_side)
+                ring = _grid_polygon(
+                    LON0 + ix * dx, LAT0 + iy * dy, dx, dy, densify=densify
+                )
+                geom.append(wkb.polygon([ring]))
+            yield pd.DataFrame({"kod": PARL_BASE + i, "originalni_hranice": geom})
+
+    return spark.range(n_side * n_side).mapInPandas(
+        _gen, "kod long, originalni_hranice binary"
+    )
 
 
 def gen_ulice_pdf(seed: int = 42, per_obec: int = 2) -> pd.DataFrame:

@@ -256,23 +256,43 @@ class PackedPolygonIndex:
             return 0
         w = np.median(self.bbox[:, 2] - self.bbox[:, 0])
         h = np.median(self.bbox[:, 3] - self.bbox[:, 1])
-        span = max(float(max(w, h)), 1e-12)
-        per_side = max(target_cells_per_poly**0.5, 1.0)
-        res = int(np.clip(np.ceil(np.log2(360.0 / span * per_side)), 0, cells.MAX_RES))
-        floor_side = max(min_cells_per_poly**0.5, 1.0)
-        res_floor = int(
-            np.clip(np.ceil(np.log2(360.0 / span * floor_side)), 0, cells.MAX_RES)
+        return pick_cover_res(
+            len(self.keys),
+            float(max(w, h)),
+            target_cells_per_poly,
+            cover_budget_rows,
+            min_cells_per_poly,
         )
-        # enforce the budget on ESTIMATED rows at the quantized res (the
-        # ceil above rounds the per-poly target up to the next power-of-4
-        # cell count, so budgeting the pre-rounding target undershoots)
-        while res > res_floor:
-            side = 360.0 / (1 << res)
-            est = len(self.keys) * (np.ceil(span / side) + 1.0) ** 2
-            if est <= cover_budget_rows:
-                break
-            res -= 1
-        return res
+
+
+def pick_cover_res(
+    n_polys: int,
+    median_span: float,
+    target_cells_per_poly: float = 256.0,
+    cover_budget_rows: float = 200_000.0,
+    min_cells_per_poly: float = 16.0,
+) -> int:
+    """Cover-resolution policy shared by the broadcast and partitioned
+    joiners (see PackedPolygonIndex.auto_res for the rationale): median
+    polygon bbox ≈ target cells, capped so estimated cover rows stay
+    within the budget, floored at min_cells_per_poly per polygon. The
+    budget is enforced on ESTIMATED rows at the quantized res (the ceil
+    rounds the per-poly target up to the next power-of-4 cell count, so
+    budgeting the pre-rounding target undershoots)."""
+    span = max(float(median_span), 1e-12)
+    per_side = max(target_cells_per_poly**0.5, 1.0)
+    res = int(np.clip(np.ceil(np.log2(360.0 / span * per_side)), 0, cells.MAX_RES))
+    floor_side = max(min_cells_per_poly**0.5, 1.0)
+    res_floor = int(
+        np.clip(np.ceil(np.log2(360.0 / span * floor_side)), 0, cells.MAX_RES)
+    )
+    while res > res_floor:
+        side = 360.0 / (1 << res)
+        est = n_polys * (np.ceil(span / side) + 1.0) ** 2
+        if est <= cover_budget_rows:
+            break
+        res -= 1
+    return res
 
 
 def build_index(
@@ -384,6 +404,244 @@ class PIPJoiner:
             keyed = hits.select(rid, out_key)
             return base.join(keyed, on=rid, how="left").drop(rid)
         raise ValueError(f"unsupported how={how!r}")
+
+
+def _span_stats(polys: DataFrame, geom_col: str) -> tuple[int, float]:
+    """Distributed bbox statistics for cover-resolution selection: one
+    pass over the polygon table, only TWO scalars (row count, median
+    bbox span) reach the driver — never the geometry."""
+
+    @F.pandas_udf("double")
+    def _span(geom: pd.Series) -> pd.Series:
+        out = np.empty(len(geom), dtype=np.float64)
+        for i, buf in enumerate(geom):
+            allv = np.concatenate(wkb.decode_rings(bytes(buf)))
+            out[i] = max(
+                float(allv[:, 0].max() - allv[:, 0].min()),
+                float(allv[:, 1].max() - allv[:, 1].min()),
+            )
+        return pd.Series(out)
+
+    row = (
+        polys.select(_span(F.col(geom_col)).alias("s"))
+        .agg(F.count("*").alias("n"), F.percentile_approx("s", 0.5).alias("med"))
+        .first()
+    )
+    return int(row["n"]), float(row["med"] if row["med"] is not None else 0.0)
+
+
+class PartitionedPIPJoiner:
+    """Point-in-polygon join for HUGE dimension layers (parcel-scale:
+    10^5-10^7 polygons), where PIPJoiner's driver-collect + monolithic
+    vertex broadcast stops scaling (10^6 parcels x ~256 verts/ring is
+    ~4 GB of float64 on the driver and in every executor).
+
+    Scale shape — the dimension's VERTEX ARRAYS never leave the
+    executors and are never broadcast; only two bounded artifacts move:
+
+    1. cover table (cell, poly_key, interior) — built DISTRIBUTEDLY via
+       mapInPandas (each task packs its polygon batch and emits its
+       cover rows), row-budgeted by pick_cover_res, broadcast to keep
+       the page side map-only exactly like the broadcast path. At the
+       default 500k-row budget that is ~15 MB — bounded regardless of
+       vertex counts (measured: a 2M-row budget triples per-action
+       broadcast-rebuild cost for no candidate-quality gain on the
+       parcel fixture — the budget trades JVM-side pruning for
+       broadcast size, and the knee is early).
+    2. packed-geometry group table (__grp, __gsalt, __pkey, __geom) —
+       polygons keyed by the coarse gres-cells their bbox intersects
+       (a polygon is duplicated only across the few groups it
+       straddles). Stays a distributed DataFrame; the refine cogroup
+       shuffles it by group key.
+
+    apply(): pages get cells JVM-side, broadcast-join the cover
+    (map-only, pages never shuffle for candidate generation),
+    interior-certified candidates are hits with zero Python, and ONLY
+    boundary-cell candidates shuffle — keyed by their cell's gres
+    parent — into a cogrouped applyInPandas that packs the group's
+    polygons and runs the same vectorized even-odd test as the
+    broadcast path. Identical results (pip parity pinned in
+    tests/test_pip.py); one extra shuffle of the boundary slice is the
+    price of not broadcasting vertices.
+
+    Megacity skew: a hot group's boundary candidates all land on one
+    reducer. salt>1 replicates each polygon row into `salt` copies per
+    group and routes candidates by hash(lon,lat) % salt, splitting a
+    hot group across `salt` reducers at the cost of `salt`x geometry
+    duplication in the group table (geometry only — the candidate side
+    is partitioned, not replicated).
+
+    Requires poly keys unique per polygon row (RUIAN kod semantics);
+    the reference's Parcely is exactly this layer at country scale
+    (3,172 of 3,716 features in test_suite/OB_UKSH.xml.gz, SURVEY §5).
+    """
+
+    def __init__(
+        self,
+        polys_df: DataFrame,
+        poly_key: str,
+        geom_col: str = "geometry",
+        res: int | None = None,
+        out_key: str | None = None,
+        cover_budget_rows: float = 500_000.0,
+        group_bits: int = 4,
+        salt: int = 1,
+    ):
+        self.out_key = out_key or poly_key
+        polys = polys_df.select(
+            F.col(poly_key).cast("long").alias("__pkey"),
+            F.col(geom_col).alias("__geom"),
+        ).where(F.col(geom_col).isNotNull())
+        self._polys = polys
+        if res is None:
+            n, med = _span_stats(polys, "__geom")
+            # allow coarser-than-polygon cells (min_cells 1): at 10^6+
+            # polys the budget, not per-poly density, must win
+            res = pick_cover_res(
+                n, med, cover_budget_rows=cover_budget_rows, min_cells_per_poly=1.0
+            )
+        self.res = res
+        self.gres = max(res - group_bits, 0)
+        self.salt = max(int(salt), 1)
+        rres, gres, nsalt = self.res, self.gres, self.salt
+
+        def _cover(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                idx = PackedPolygonIndex.build(
+                    [(int(k), bytes(b)) for k, b in zip(pdf["__pkey"], pdf["__geom"])]
+                )
+                yield idx.cover(rres)[["cell", "poly_key", "interior"]]
+
+        # persisted: the cover is re-joined by every apply()/action and
+        # is small by construction (the row budget)
+        self._cover_sdf = polys.mapInPandas(
+            _cover, "cell long, poly_key long, interior boolean"
+        ).persist()
+
+        def _groups(batches):
+            n = 1 << gres
+            for pdf in batches:
+                grp_o: list[int] = []
+                salt_o: list[int] = []
+                key_o: list[int] = []
+                geom_o: list[bytes] = []
+                for k, buf in zip(pdf["__pkey"], pdf["__geom"]):
+                    buf = bytes(buf)
+                    allv = np.concatenate(wkb.decode_rings(buf))
+                    ix0, iy0 = cells.lonlat_to_grid(
+                        np.asarray([allv[:, 0].min()]), np.asarray([allv[:, 1].min()]), gres
+                    )
+                    ix1, iy1 = cells.lonlat_to_grid(
+                        np.asarray([allv[:, 0].max()]), np.asarray([allv[:, 1].max()]), gres
+                    )
+                    xs = np.arange(int(ix0[0]), min(int(ix1[0]), n - 1) + 1, dtype=np.int64)
+                    ys = np.arange(int(iy0[0]), min(int(iy1[0]), n - 1) + 1, dtype=np.int64)
+                    gx, gy = np.meshgrid(xs, ys)
+                    gc = (
+                        cells.morton_encode(gx.ravel(), gy.ravel()) << np.int64(5)
+                    ) | np.int64(gres)
+                    for g in gc:
+                        for s in range(nsalt):
+                            grp_o.append(int(g))
+                            salt_o.append(s)
+                            key_o.append(int(k))
+                            geom_o.append(buf)
+                if grp_o:
+                    yield pd.DataFrame(
+                        {
+                            "__grp": np.asarray(grp_o, dtype=np.int64),
+                            "__gsalt": np.asarray(salt_o, dtype=np.int32),
+                            "__pkey": np.asarray(key_o, dtype=np.int64),
+                            "__geom": geom_o,
+                        }
+                    )
+
+        # persisted like the cover: this IS the prepared index (the
+        # partitioned analogue of PIPJoiner's one-time broadcast build),
+        # O(dimension) with small duplication, disk-backed so a 10^7-poly
+        # layer spills instead of evicting
+        from pyspark.storagelevel import StorageLevel
+
+        self._groups_sdf = polys.mapInPandas(
+            _groups, "__grp long, __gsalt int, __pkey long, __geom binary"
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    def apply(
+        self,
+        points_df: DataFrame,
+        lon_col: str = "lon",
+        lat_col: str = "lat",
+        how: str = "inner",
+    ) -> DataFrame:
+        if how not in ("inner", "left"):
+            raise ValueError(f"unsupported how={how!r}")
+        out_key = self.out_key
+        res, gres, nsalt = self.res, self.gres, self.salt
+        base = points_df
+        rid = "__pip_rid"
+        if how == "left":
+            base = points_df.withColumn(rid, F.monotonically_increasing_id())
+        pts = cells.with_cell(base, res, lon_col, lat_col, out_col="__cell")
+        cover = self._cover_sdf
+        cand = pts.join(
+            F.broadcast(cover), on=pts["__cell"] == cover["cell"], how="inner"
+        ).drop("cell")
+        inner_hits = cand.where(F.col("interior")).drop("__cell", "interior")
+        # cell -> gres parent, pure bit ops in codegen: drop the 5 res
+        # bits and 2*(res-gres) morton bits, re-tag with gres
+        shift = 5 + 2 * (res - gres)
+        grp_expr = F.shiftleft(F.shiftright(F.col("__cell"), shift), 5).bitwiseOR(
+            F.lit(gres)
+        )
+        salt_expr = (
+            F.lit(0)
+            if nsalt == 1
+            else F.pmod(F.xxhash64(F.col(lon_col), F.col(lat_col)), F.lit(nsalt))
+        )
+        boundary = (
+            cand.where(~F.col("interior"))
+            .withColumn("__grp", grp_expr)
+            .withColumn("__gsalt", salt_expr.cast("int"))
+        )
+        helper = ("__cell", "interior", "__grp", "__gsalt")
+        out_fields = [f for f in boundary.schema.fields if f.name not in helper]
+        names = [f.name for f in out_fields]
+        from pyspark.sql.types import StructType
+
+        out_schema = StructType(out_fields)
+
+        def _refine(cand_pdf: pd.DataFrame, poly_pdf: pd.DataFrame) -> pd.DataFrame:
+            if not len(cand_pdf) or not len(poly_pdf):
+                return cand_pdf.loc[:, names].iloc[0:0]
+            idx = PackedPolygonIndex.build(
+                [
+                    (int(k), bytes(b))
+                    for k, b in zip(poly_pdf["__pkey"], poly_pdf["__geom"])
+                ]
+            )
+            pos = {int(k): i for i, k in enumerate(idx.keys)}
+            pidx = np.asarray(
+                [pos[int(k)] for k in cand_pdf["poly_key"]], dtype=np.int64
+            )
+            hit = idx.contains(
+                pidx,
+                cand_pdf[lon_col].to_numpy(dtype=np.float64),
+                cand_pdf[lat_col].to_numpy(dtype=np.float64),
+            )
+            return cand_pdf.loc[hit, names]
+
+        refined = (
+            boundary.groupby("__grp", "__gsalt")
+            .cogroup(self._groups_sdf.groupby("__grp", "__gsalt"))
+            .applyInPandas(_refine, out_schema)
+        )
+        hits = inner_hits.unionByName(refined).withColumnRenamed("poly_key", out_key)
+        if how == "inner":
+            return hits
+        keyed = hits.select(rid, out_key)
+        return base.join(keyed, on=rid, how="left").drop(rid)
 
 
 def point_in_polygon_join(

@@ -117,3 +117,65 @@ def test_interior_certification_exact_on_diagonal_polygons(spark):
         inside = idx.contains_one(p, qx, qy)
         want |= {(int(i), key) for i in np.flatnonzero(inside)}
     assert got == want
+
+
+def test_partitioned_pip_parity_with_broadcast(spark):
+    """PartitionedPIPJoiner (distributed cover + cogrouped refine, no
+    driver collect of the dimension) must return EXACTLY the broadcast
+    path's rows — inner and left, with and without salt."""
+    from pyspark.sql import functions as F
+
+    from gdal_vfr_spark.geo.pip import PartitionedPIPJoiner, PIPJoiner
+
+    pages = datagen.gen_webpages(spark, n=3000, seed=7)
+    obce = datagen.gen_obce(spark, seed=7)
+    bj = PIPJoiner(obce, poly_key="kod", geom_col="originalni_hranice", out_key="obec_kod")
+    want = sorted(
+        (r["url"], r["obec_kod"])
+        for r in bj.apply(pages).select("url", "obec_kod").collect()
+    )
+    for salt in (1, 3):
+        pj = PartitionedPIPJoiner(
+            obce, poly_key="kod", geom_col="originalni_hranice",
+            out_key="obec_kod", salt=salt,
+        )
+        got = sorted(
+            (r["url"], r["obec_kod"])
+            for r in pj.apply(pages).select("url", "obec_kod").collect()
+        )
+        assert got == want, f"salt={salt}"
+    # left join keeps null-geo pages with a NULL key
+    pj = PartitionedPIPJoiner(
+        obce, poly_key="kod", geom_col="originalni_hranice", out_key="obec_kod"
+    )
+    left = pj.apply(pages, how="left")
+    assert left.count() == 3000
+    assert left.where("obec_kod is null").count() == pages.where("lon is null").count()
+    assert left.where(
+        F.col("obec_kod").isNotNull()
+        & (F.col("obec_kod") != F.col("truth_obec_kod"))
+    ).count() == 0
+
+
+def test_partitioned_pip_parcely_large_truth(spark):
+    """Parcel-scale shape at test size: a distributed-generated grid
+    parcel layer joined via the partitioned path matches the arithmetic
+    ground truth row-for-row."""
+    from gdal_vfr_spark.geo.pip import PartitionedPIPJoiner
+
+    n_side = 60
+    pages = datagen.gen_webpages(spark, n=2000, seed=13)
+    parcels = datagen.gen_parcely_large(spark, n_side=n_side)
+    assert parcels.count() == n_side * n_side
+    pj = PartitionedPIPJoiner(
+        parcels, poly_key="kod", geom_col="originalni_hranice", out_key="parcel_kod"
+    )
+    rows = pj.apply(pages).select("lon", "lat", "parcel_kod").collect()
+    assert len(rows) == pages.where("lon is not null").count()
+    for r in rows:
+        want = int(
+            datagen.truth_parcel_large(
+                np.asarray([r["lon"]]), np.asarray([r["lat"]]), n_side
+            )[0]
+        )
+        assert r["parcel_kod"] == want, r

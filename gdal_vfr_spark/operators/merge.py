@@ -289,7 +289,9 @@ class ParquetTable:
     def merge(self, changes: DataFrame, key: str = "gml_id") -> DataFrame:
         """M3 — full change pass: classify -> dedup -> apply -> commit.
         Returns the change tally (A3) so callers can log it like the
-        reference's summary (vfrogr.py:617-627)."""
+        reference's summary (vfrogr.py:617-627). O(table) per batch —
+        the uniform-commit stand-in; BucketedParquetTable below is the
+        O(delta) layout."""
         if not self.exists():
             classified = changes.withColumn("action", F.lit("add"))
             merged = apply_changes(
@@ -304,4 +306,108 @@ class ParquetTable:
         tally = classified.groupBy("action").agg(F.count("*").alias("n"))
         tally_rows = tally.collect()
         self._commit(merged)
+        return self.spark.createDataFrame(tally_rows, tally.schema)
+
+
+class BucketedParquetTable:
+    """Partition-pruned merge: the O(delta), not O(table), change pass.
+
+    Layout: parquet partitioned by `__bucket = pmod(xxhash64(key), n)`.
+    merge() computes the distinct buckets the change batch touches
+    (collects at most n_buckets small ints), reads ONLY those partitions
+    (static partition pruning — PartitionFilters on the scan, asserted
+    in tests/test_merge.py), runs the same classify -> dedup -> apply
+    pass as ParquetTable.merge, and swaps only the touched bucket
+    directories. Untouched partitions' data files are never read OR
+    rewritten. Cost per batch: O(|changes| + |table| * touched/n),
+    which is what Iceberg's MERGE INTO with bucket(n, key) partitioning
+    gives you on a real cluster — this class models that cost in the
+    sandbox; the commit differs (per-directory renames instead of one
+    atomic snapshot pointer flip, so a crash mid-merge can expose a
+    partially-merged table across buckets — Iceberg's metadata commit
+    is the production answer, vfrogr.py:543-544's per-layer transaction
+    the reference's)."""
+
+    def __init__(self, spark, path: str, key: str = "gml_id", n_buckets: int = 16):
+        self.spark = spark
+        self.path = path
+        self.key = key
+        self.n_buckets = n_buckets
+
+    def _bucket(self):
+        return F.pmod(F.xxhash64(F.col(self.key)), F.lit(self.n_buckets))
+
+    def exists(self) -> bool:
+        return os.path.exists(self.path)
+
+    def read(self) -> DataFrame:
+        return self.spark.read.parquet(self.path).drop("__bucket")
+
+    def write(self, df: DataFrame, overwrite: bool = False) -> None:
+        if self.exists() and not overwrite:
+            raise FileExistsError(f"{self.path} already exists; use overwrite=True")
+        staging = f"{self.path}.__staging_{uuid.uuid4().hex[:8]}"
+        df.withColumn("__bucket", self._bucket()).write.mode("overwrite").partitionBy(
+            "__bucket"
+        ).parquet(staging)
+        old = f"{self.path}.__old_{uuid.uuid4().hex[:8]}"
+        if os.path.exists(self.path):
+            os.rename(self.path, old)
+        os.rename(staging, self.path)
+        if os.path.exists(old):
+            shutil.rmtree(old)
+
+    def merge(self, changes: DataFrame, key: str | None = None) -> DataFrame:
+        key = key or self.key
+        if key != self.key:
+            raise ValueError(
+                f"table is bucketed by {self.key!r}; cannot merge on {key!r}"
+            )
+        if not self.exists():
+            classified = changes.withColumn("action", F.lit("add"))
+            merged = apply_changes(
+                self.spark.createDataFrame([], changes.drop("action").schema),
+                classified,
+                key=key,
+            )
+            tally = classified.groupBy("action").agg(F.count("*").alias("n"))
+            tally_rows = tally.collect()
+            self.write(merged)
+            return self.spark.createDataFrame(tally_rows, tally.schema)
+        buckets = sorted(
+            r["b"]
+            for r in changes.select(self._bucket().alias("b")).distinct().collect()
+        )
+        if not buckets:
+            empty = self.spark.createDataFrame([], "action string, n long")
+            return empty
+        # keys hash to exactly one bucket, so classification against the
+        # touched-bucket slice equals classification against the full
+        # table — rows elsewhere cannot share a key with any change
+        cur = (
+            self.spark.read.parquet(self.path)
+            .where(F.col("__bucket").isin([int(b) for b in buckets]))
+            .drop("__bucket")
+        )
+        current = dedup_current(cur, key=key, order_col=key)
+        classified = classify_changes(changes, current, key=key)
+        merged = apply_changes(current, classified, key=key)
+        tally = classified.groupBy("action").agg(F.count("*").alias("n"))
+        tally_rows = tally.collect()
+        staging = f"{self.path}.__staging_{uuid.uuid4().hex[:8]}"
+        merged.withColumn("__bucket", self._bucket()).write.mode(
+            "overwrite"
+        ).partitionBy("__bucket").parquet(staging)
+        tag = uuid.uuid4().hex[:8]
+        for b in buckets:
+            src = os.path.join(staging, f"__bucket={int(b)}")
+            dst = os.path.join(self.path, f"__bucket={int(b)}")
+            old = f"{dst}.__old_{tag}"
+            if os.path.exists(dst):
+                os.rename(dst, old)
+            if os.path.exists(src):
+                os.rename(src, dst)
+            if os.path.exists(old):
+                shutil.rmtree(old)
+        shutil.rmtree(staging, ignore_errors=True)
         return self.spark.createDataFrame(tally_rows, tally.schema)

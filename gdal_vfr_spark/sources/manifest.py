@@ -82,6 +82,42 @@ def parse_dsn(df: DataFrame, dsn_col: str = "dsn") -> DataFrame:
     )
 
 
+def resolve_options(
+    defaults: dict[str, str] | None = None,
+    conf_path: str | None = None,
+    env: dict[str, str] | None = None,
+    env_keys: tuple[str, ...] = ("LOG_FILE", "DATA_DIR", "LOG_DIR"),
+    overrides: dict[str, str] | None = None,
+) -> dict[str, str]:
+    """Config-file option resolution — the engine's analogue of the
+    reference's `_read_conf` (vfrogr.py:179-223 over vfr4ogr.conf):
+    built-in defaults < config-file `KEY=value` lines < environment
+    variables (the reference checks exactly LOG_FILE/DATA_DIR/LOG_DIR)
+    < explicit overrides (the CLI layer). `#` lines are comments; a
+    non-comment line without exactly one `=` raises (the reference
+    constructs-but-forgets its VfrError there — we surface the error).
+    Blank lines are skipped. No directory side effects: the driver, not
+    the resolver, owns filesystem setup (vfrogr.py:214-220's makedirs
+    belongs to the sink)."""
+    conf = dict(defaults or {"LOG_DIR": ".", "DATA_DIR": "data"})
+    if conf_path is not None:
+        with open(conf_path) as f:
+            for raw in f:
+                line = raw.strip()
+                if not line or line.startswith("#"):
+                    continue
+                key, sep, value = line.partition("=")
+                if not sep or not key:
+                    raise ValueError(f"invalid configuration line: {raw!r}")
+                conf[key.strip()] = value.strip()
+    src = env if env is not None else __import__("os").environ
+    for key in env_keys:
+        if key in src:
+            conf[key] = src[key]
+    conf.update(overrides or {})
+    return conf
+
+
 def batch_manifest(
     spark,
     vfr_type: str,

@@ -95,3 +95,41 @@ def test_run_batches_lifecycle(spark, tmp_path):
 
     s = driver.summary(stats3)
     assert "TOTAL" in s and "Time elapsed" in s
+
+
+def test_resolve_options_precedence(tmp_path):
+    """Replays the reference's option precedence (_read_conf,
+    vfrogr.py:179-223): defaults < conf file < env (LOG_FILE/DATA_DIR/
+    LOG_DIR only) < explicit overrides; comments skipped; malformed
+    lines raise."""
+    import pytest
+
+    from gdal_vfr_spark.sources.manifest import resolve_options
+
+    # defaults only (reference's built-ins)
+    assert resolve_options(env={}) == {"LOG_DIR": ".", "DATA_DIR": "data"}
+    conf = tmp_path / "vfr.conf"
+    conf.write_text(
+        "# path where to produce logs\n"
+        "LOG_DIR=/var/log/vfr\n"
+        "\n"
+        "DATA_DIR=data2\n"
+        "EXTRA=1\n"
+    )
+    got = resolve_options(conf_path=str(conf), env={})
+    assert got == {"LOG_DIR": "/var/log/vfr", "DATA_DIR": "data2", "EXTRA": "1"}
+    # env beats file, but only for the reference's three keys
+    got = resolve_options(
+        conf_path=str(conf), env={"DATA_DIR": "/mnt/d", "EXTRA": "9"}
+    )
+    assert got["DATA_DIR"] == "/mnt/d" and got["EXTRA"] == "1"
+    # explicit overrides (CLI) beat everything
+    got = resolve_options(
+        conf_path=str(conf), env={"DATA_DIR": "/mnt/d"}, overrides={"DATA_DIR": "x"}
+    )
+    assert got["DATA_DIR"] == "x"
+    # malformed line surfaces as an error
+    bad = tmp_path / "bad.conf"
+    bad.write_text("LOG_DIR\n")
+    with pytest.raises(ValueError, match="invalid configuration line"):
+        resolve_options(conf_path=str(bad), env={})

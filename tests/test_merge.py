@@ -159,3 +159,68 @@ def test_symmetric_diff(spark):
     b = spark.createDataFrame(pd.DataFrame({"name": ["y", "w"]}))
     out = [(r["diff"], r["name"]) for r in setops.symmetric_diff(a, b).collect()]
     assert out == [("+", "x"), ("+", "z"), ("-", "w")]
+
+
+def test_bucketed_merge_prunes_and_matches_full_merge(spark, tmp_path):
+    """BucketedParquetTable.merge must (a) produce exactly the state and
+    tally ParquetTable.merge does, (b) leave untouched buckets' data
+    files bit-untouched on disk (O(delta) rewrite), and (c) read only
+    the touched partitions (PartitionFilters on the pruned scan)."""
+    import os
+
+    state = obce_state(spark)
+    changes = datagen.gen_changes(spark, n_add=20, n_update=30)
+
+    full = M.ParquetTable(spark, str(tmp_path / "full"))
+    full.write(state)
+    want_tally = {r["action"]: r["n"] for r in full.merge(changes, key="gml_id").collect()}
+    want = sorted(map(tuple, full.read().collect()))
+
+    bt = M.BucketedParquetTable(spark, str(tmp_path / "bucketed"), key="gml_id", n_buckets=64)
+    bt.write(state)
+
+    def snapshot(root):
+        files = {}
+        for dirpath, _, fns in os.walk(root):
+            for fn in fns:
+                if fn.startswith(("_", ".")):
+                    continue
+                p = os.path.join(dirpath, fn)
+                st = os.stat(p)
+                files[os.path.relpath(p, root)] = (st.st_mtime_ns, st.st_size, st.st_ino)
+        return files
+
+    before = snapshot(bt.path)
+    touched = {
+        int(r["b"])
+        for r in changes.select(bt._bucket().alias("b")).distinct().collect()
+    }
+    assert 0 < len(touched) < 64  # the fixture must leave some buckets untouched
+    got_tally = {r["action"]: r["n"] for r in bt.merge(changes).collect()}
+    assert got_tally == want_tally
+    assert sorted(map(tuple, bt.read().collect())) == want
+
+    after = snapshot(bt.path)
+    for rel, meta in before.items():
+        b = int(rel.split("=")[1].split("/")[0])
+        if b not in touched:
+            assert after.get(rel) == meta, f"untouched bucket file rewritten: {rel}"
+    for rel in after:
+        b = int(rel.split("=")[1].split("/")[0])
+        if b not in touched:
+            assert rel in before, f"file appeared in untouched bucket: {rel}"
+
+    # the pruned read is PARTITION-pruned, not post-filtered
+    plan = (
+        spark.read.parquet(bt.path)
+        .where(F.col("__bucket").isin(sorted(touched)))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and "__bucket" in plan
+
+    # idempotence parity with the full-table path
+    t2 = {r["action"]: r["n"] for r in bt.merge(changes).collect()}
+    assert t2 == {"update": 50}
+    assert sorted(map(tuple, bt.read().collect())) == want

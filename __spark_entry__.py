@@ -1403,6 +1403,55 @@ def q_web_cap_per_domain(spark, sf_dir):
     )
 
 
+def q_web_url_canonicalize(spark, sf_dir):
+    """URL canonicalization for crawl dedup (engine addition): messy
+    synthesized URLs (uppercase scheme/host, default :443 ports,
+    utm_*/fbclid tracking params, fragments, bare-root slashes) ->
+    canonical form via functions.urls.canonicalize_url_expr. Pure
+    Catalyst regexp chain in the Java∩RE2 subset; the DuckDB twin
+    mirrors it with 'g'-flag replaces."""
+    from gdal_vfr_spark.functions import urls as url_fns
+
+    docs = _read(spark, sf_dir, "documents")
+    hosts = F.array(*[F.lit(h) for h in _WEB_HOSTS])
+    h = F.element_at(hosts, (F.col("doc_id") % 8 + 1).cast("int"))
+    h = F.when(F.col("doc_id") % 4 == 1, F.upper(h)).otherwise(h)
+    did = F.col("doc_id").cast("string")
+    url = F.concat(
+        F.when(F.col("doc_id") % 5 == 0, F.lit("HTTPS")).otherwise(F.lit("https")),
+        F.lit("://"),
+        h,
+        F.when(F.col("doc_id") % 6 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 5, F.lit("/")).otherwise(
+            F.concat(F.lit("/p/"), did)
+        ),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("?utm_source=abc&utm_medium=x&id="), did),
+        )
+        .when(F.col("doc_id") % 3 == 1, F.concat(F.lit("?id="), did, F.lit("&fbclid=XYZ")))
+        .otherwise(F.concat(F.lit("?id="), did)),
+        F.when(F.col("doc_id") % 7 == 2, F.lit("#sec")).otherwise(F.lit("")),
+    )
+    d = docs.select("doc_id", url.alias("url"))
+    return d.select(
+        "doc_id", "url", url_fns.canonicalize_url_expr("url").alias("canonical_url")
+    ).orderBy("doc_id")
+
+
+def q_text_bm25_topk(spark, sf_dir):
+    """BM25-lite keyword retrieval (engine addition): top-5 docs per
+    query string. Rational Robertson idf (no log — libm-portable) and
+    fixed-point order-free score sums make the DuckDB twin exact; ranks
+    tie-break by doc_id."""
+    docs = _read(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        [(1, "hash join row"), (2, "stream window batch"), (3, "fast sort query")],
+        "query_id long, query string",
+    )
+    return text_ops.bm25_topk(docs, queries, k=5).orderBy("query_id", "rank")
+
+
 def q_text_lang(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
     return (
@@ -1684,6 +1733,20 @@ def q_ann_lsh_topk(spark, sf_dir):
         .select("query_id", "vec_id", F.col("rank").cast("long").alias("rank"))
         .orderBy("query_id", "rank")
     )
+
+
+def q_dedup_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (engine addition; no reference
+    analogue — standard LLM-pipeline op): per-doc count of character
+    16-grams shared with a synthetic eval set (substr(text, 10, 60)
+    snippets of every 50th doc). Benchmark shingle set broadcasts; the
+    corpus side is map-side explode + broadcast semi-join + one
+    partial+final count — the 10^12-doc side never shuffles text."""
+    docs = _read(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 50 == 7).select(
+        F.substring("text", 10, 60).alias("text")
+    )
+    return dedup.decontaminate(docs, bench, n=16).orderBy("doc_id")
 
 
 def q_dedup_keep_best(spark, sf_dir):
@@ -1989,6 +2052,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS_r01/r02.json, committed).
     return {
         "geo_pip_parcely_large": q_geo_pip_parcely_large,
+        "dedup_decontaminate": q_dedup_decontaminate,
+        "web_url_canonicalize": q_web_url_canonicalize,
+        "text_bm25_topk": q_text_bm25_topk,
         "dedup_cc": q_dedup_cc,
         "dedup_keep_best": q_dedup_keep_best,
         "dedup_representatives": q_dedup_representatives,
@@ -2524,6 +2590,102 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY quality DESC, doc_id ASC) AS rn
               FROM fulls
             ) WHERE rn = 1 ORDER BY component
+        """,
+        "text_bm25_topk": f"""
+            WITH toks AS (SELECT doc_id, {_duck_tokens('text')} AS t FROM documents),
+            dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+            stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                             CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+                      FROM dl),
+            tf AS (SELECT doc_id, term, count(*) AS tf
+                   FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+                   GROUP BY doc_id, term),
+            q(query_id, term) AS (VALUES
+              (1, 'hash'), (1, 'join'), (1, 'row'),
+              (2, 'stream'), (2, 'window'), (2, 'batch'),
+              (3, 'fast'), (3, 'sort'), (3, 'query')),
+            hits AS (SELECT q.query_id, tf.doc_id, tf.term, tf.tf
+                     FROM tf JOIN q USING (term)),
+            dfreq AS (SELECT term, count(DISTINCT doc_id) AS df
+                      FROM hits GROUP BY term),
+            scored AS (
+              SELECT query_id, doc_id,
+                CAST(sum(CAST(floor(
+                  (((s.n - CAST(df AS DOUBLE)) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+                  * ((CAST(tf AS DOUBLE) * 2.2)
+                     / (CAST(tf AS DOUBLE)
+                        + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / s.avgdl))))
+                  * 1048576.0) AS BIGINT)) AS BIGINT) AS score_fp
+              FROM hits JOIN dfreq USING (term) JOIN dl USING (doc_id)
+                   CROSS JOIN stats s
+              GROUP BY query_id, doc_id)
+            SELECT query_id, doc_id, score_fp, CAST(rank AS BIGINT) AS rank FROM (
+              SELECT query_id, doc_id, score_fp,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY score_fp DESC, doc_id ASC) AS rank
+              FROM scored) WHERE rank <= 5
+            ORDER BY query_id, rank
+        """,
+        "web_url_canonicalize": f"""
+            WITH raw AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 5 = 0 THEN 'HTTPS' ELSE 'https' END || '://' ||
+                CASE WHEN doc_id % 4 = 1 THEN upper(h) ELSE h END ||
+                CASE WHEN doc_id % 6 = 0 THEN ':443' ELSE '' END ||
+                CASE WHEN doc_id % 11 = 5 THEN '/'
+                     ELSE '/p/' || CAST(doc_id AS VARCHAR) END ||
+                CASE WHEN doc_id % 3 = 0
+                       THEN '?utm_source=abc&utm_medium=x&id=' || CAST(doc_id AS VARCHAR)
+                     WHEN doc_id % 3 = 1
+                       THEN '?id=' || CAST(doc_id AS VARCHAR) || '&fbclid=XYZ'
+                     ELSE '?id=' || CAST(doc_id AS VARCHAR) END ||
+                CASE WHEN doc_id % 7 = 2 THEN '#sec' ELSE '' END AS url
+              FROM (SELECT doc_id,
+                           [{{hosts}}][CAST(doc_id % 8 + 1 AS INT)] AS h
+                    FROM documents)
+            ), parts AS (
+              SELECT doc_id, url,
+                lower(regexp_extract(regexp_replace(url, '#.*', '', 'g'),
+                  '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                lower(regexp_extract(regexp_replace(url, '#.*', '', 'g'),
+                  '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#]*)', 1)) AS host0,
+                regexp_extract(regexp_replace(url, '#.*', '', 'g'),
+                  '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)', 1) AS rest0
+              FROM raw
+            )
+            SELECT doc_id, url,
+              CASE WHEN scheme = '' THEN url
+                   ELSE scheme || '://' ||
+                     CASE WHEN scheme = 'http' THEN regexp_replace(host0, ':80$', '')
+                          WHEN scheme = 'https' THEN regexp_replace(host0, ':443$', '')
+                          ELSE host0 END ||
+                     regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                       regexp_replace(rest0,
+                         '([?&])(?:utm_[A-Za-z0-9_]+|fbclid|gclid|msclkid|mc_eid)=[^&]*',
+                         '\\1', 'g'),
+                       '&&+', '&', 'g'), '\\?&', '?', 'g'),
+                       '[?&]+$', '', 'g'), '^/$', '', 'g')
+              END AS canonical_url
+            FROM parts ORDER BY doc_id
+        """.replace("{hosts}", ", ".join(f"'{h}'" for h in _WEB_HOSTS)),
+        "dedup_decontaminate": """
+            WITH bench AS (
+              SELECT DISTINCT sh FROM (
+                SELECT unnest(list_distinct(list_transform(
+                         range(1, greatest(length(b) - 15, 1) + 1),
+                         i -> substr(b, i, 16)))) AS sh
+                FROM (SELECT substr(text, 10, 60) AS b FROM documents
+                      WHERE doc_id % 50 = 7)
+              )
+            ), d AS (
+              SELECT doc_id, unnest(list_distinct(list_transform(
+                       range(1, greatest(length(text) - 15, 1) + 1),
+                       i -> substr(text, i, 16)))) AS sh
+              FROM documents
+            )
+            SELECT d.doc_id, count(*) AS n_contaminated
+            FROM d JOIN bench ON d.sh = bench.sh
+            GROUP BY d.doc_id ORDER BY d.doc_id
         """,
         "dedup_cc": f"""
             WITH RECURSIVE mh AS ({_duck_minhash_sql()}),

@@ -75,6 +75,52 @@ def registered_domain_expr(host: Column | str) -> Column:
     )
 
 
+# Query parameters that never change page identity — analytics/click
+# trackers. Kept small and explicit so the cross-engine twin stays
+# byte-identical; extend per deployment.
+TRACKING_PARAM_RE = "utm_[A-Za-z0-9_]+|fbclid|gclid|msclkid|mc_eid"
+
+_SCHEME_RE = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+_AUTH_NOUSER_RE = "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#]*)"
+_REST_RE = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)"
+
+
+def canonicalize_url_expr(url: Column | str) -> Column:
+    """URL canonicalization for crawl dedup — the normalization every
+    web pipeline applies before URL-level dedup/frontier-merge so that
+    trivially-distinct spellings of one page collapse to one key:
+
+    - fragment stripped (never sent to the server),
+    - scheme and host lowercased (RFC 3986 §6.2.2.1), userinfo dropped,
+    - default ports stripped (:80 for http, :443 for https),
+    - tracking query params removed (TRACKING_PARAM_RE), separators
+      repaired, dangling ?/& stripped,
+    - a bare "/" root path dropped.
+
+    Pure Catalyst regexp chain (Java∩RE2 subset — no lookaround, so the
+    default-port strip uses a captured-delimiter rewrite instead of a
+    lookahead); URLs without a scheme://authority pass through
+    unchanged. DuckDB twin mirrors the chain with regexp_replace 'g'."""
+    url = F.col(url) if isinstance(url, str) else url
+    u = F.regexp_replace(url, "#.*", "")
+    scheme = F.lower(F.regexp_extract(u, _SCHEME_RE, 1))
+    host = F.lower(F.regexp_extract(u, _AUTH_NOUSER_RE, 1))
+    host = (
+        F.when(scheme == F.lit("http"), F.regexp_replace(host, ":80$", ""))
+        .when(scheme == F.lit("https"), F.regexp_replace(host, ":443$", ""))
+        .otherwise(host)
+    )
+    rest = F.regexp_extract(u, _REST_RE, 1)
+    rest = F.regexp_replace(rest, f"([?&])(?:{TRACKING_PARAM_RE})=[^&]*", "$1")
+    rest = F.regexp_replace(rest, "&&+", "&")
+    rest = F.regexp_replace(rest, "\\?&", "?")
+    rest = F.regexp_replace(rest, "[?&]+$", "")
+    rest = F.regexp_replace(rest, "^/$", "")
+    return F.when(scheme == F.lit(""), url).otherwise(
+        F.concat(scheme, F.lit("://"), host, rest)
+    )
+
+
 def with_url_parts(df: DataFrame, url_col: str = "url") -> DataFrame:
     """Append host + registered_domain columns (chained projections —
     stays inside whole-stage codegen like the text ops)."""

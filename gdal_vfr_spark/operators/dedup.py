@@ -46,6 +46,50 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination — the train/test overlap removal every
+    LLM training pipeline runs before the dedup'd corpus ships: flag
+    each training document that shares ANY character n-gram with the
+    evaluation corpus, with the per-doc count of contaminated shingles
+    (no analogue in the reference; standard public technique — e.g.
+    GPT-3/PaLM appendix-style 13-gram overlap, parameterized here).
+
+    Returns (id_col, n_contaminated) for contaminated docs only; feed
+    to drop_contaminated for the cleaned corpus.
+
+    Scale shape: the benchmark side is the SMALL one (eval suites are
+    10^3-10^6 rows) — its distinct shingle set broadcasts; the corpus
+    side is one map-side explode + broadcast semi-join, then one
+    partial+final count keyed by doc id. The 10^12-doc side never
+    shuffles its text, only (id, matched-shingle) survivors."""
+    bench = (
+        benchmark.select(
+            F.explode(shingles_expr(F.col(bench_text_col), n)).alias("__sh")
+        )
+        .distinct()
+    )
+    return (
+        docs.select(F.col(id_col), F.explode(shingles_expr(F.col(text_col), n)).alias("__sh"))
+        .join(F.broadcast(bench), "__sh")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+
+
+def drop_contaminated(
+    docs: DataFrame, contaminated: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Cleaned corpus: anti-join against decontaminate()'s flag set."""
+    return docs.join(contaminated.select(id_col), on=id_col, how="left_anti")
+
+
 def with_minhash(
     df: DataFrame,
     text_col: str = "text",

@@ -264,3 +264,77 @@ def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
         quality_score_expr(text_col).alias("quality"),
         fingerprint_expr(text_col).alias("fingerprint"),
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_col: str = "query",
+) -> DataFrame:
+    """BM25-lite keyword retrieval: top-k docs per query string (the
+    inverted-index workload a corpus-curation pipeline runs for
+    benchmark mining / targeted filtering; engine addition, no
+    reference analogue).
+
+    Two deliberate exactness choices (see engine oracle rules):
+    - idf is the RATIONAL Robertson form (N - df + 0.5)/(df + 0.5)
+      WITHOUT the log — log/ln differ in the last ulp across libm
+      implementations; the rational form is ratio-monotone in df, so
+      rankings are BM25-faithful and the DuckDB twin is bit-identical.
+    - the per-doc score sums fixed-point bigints (floor(term_score *
+      2^20)), which is order-free across partitions; ties break by id.
+
+    Scale shape: query terms (tiny) broadcast and PRUNE the term-freq
+    table before anything else; df counts are computed only for the
+    surviving query terms. Shuffles: tf groupBy(doc, term), the per-
+    (query, doc) score aggregate, and the per-query top-k window —
+    all keyed, no cross join. The corpus is tokenized ONCE per call;
+    at 10^12 docs you would materialize tf/dl as a posting-list table
+    and reuse it across query batches (same once-per-job vs per-batch
+    split as the PIP joiners)."""
+    toks = docs.select(F.col(id_col), F.explode(tokens_expr(text_col)).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dl = docs.select(F.col(id_col), token_count_expr(text_col).alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n"), F.sum("dl").alias("total")
+    ).first()
+    n_docs = int(stats["n"])
+    avgdl = float(stats["total"]) / float(n_docs) if n_docs else 1.0
+    qterms = queries.select(
+        F.col(query_id_col), F.explode(tokens_expr(query_col)).alias("term")
+    ).distinct()
+    hits = tf.join(F.broadcast(qterms), "term")
+    dfreq = hits.groupBy("term").agg(
+        F.count_distinct(F.col(id_col)).alias("df")
+    )
+    dfd = F.col("df").cast("double")
+    tfd = F.col("tf").cast("double")
+    dld = F.col("dl").cast("double")
+    idf = (F.lit(float(n_docs)) - dfd + F.lit(0.5)) / (dfd + F.lit(0.5))
+    norm = (tfd * F.lit(k1 + 1.0)) / (
+        tfd + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (dld / F.lit(avgdl)))
+    )
+    contrib = F.floor((idf * norm) * F.lit(1048576.0)).cast("long")
+    scored = (
+        hits.join(F.broadcast(dfreq), "term")
+        .join(dl, id_col)
+        .select(query_id_col, id_col, contrib.alias("s"))
+        .groupBy(query_id_col, id_col)
+        .agg(F.sum("s").alias("score_fp"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("score_fp"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "score_fp", F.col("rank").cast("long").alias("rank"))
+    )

@@ -425,3 +425,57 @@ def test_connected_components_raises_on_nonconvergence(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         dedup.connected_components(pairs, max_iter=1)
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    """A doc sharing a >=n-char span with the benchmark must be flagged;
+    docs with no shared n-gram must survive drop_contaminated."""
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                (1, "zzzz the secret benchmark passage lives here qqqq"),
+                (2, "completely unrelated words about spark and ducks"),
+                (3, "another clean row with its own distinct phrasing"),
+            ],
+            columns=["doc_id", "text"],
+        )
+    )
+    bench = spark.createDataFrame(
+        pd.DataFrame(
+            [("what is the answer? the secret benchmark passage lives here",)],
+            columns=["text"],
+        )
+    )
+    flagged = {
+        r["doc_id"]: r["n_contaminated"]
+        for r in dedup.decontaminate(docs, bench, n=16).collect()
+    }
+    assert set(flagged) == {1} and flagged[1] > 0
+    clean = dedup.drop_contaminated(docs, dedup.decontaminate(docs, bench, n=16))
+    assert sorted(r["doc_id"] for r in clean.collect()) == [2, 3]
+
+
+def test_bm25_topk_ranking_semantics(spark):
+    """Multi-term matches outrank single-term; rarer terms contribute
+    more (higher idf); ties break by doc_id."""
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                (1, "alpha beta gamma delta"),
+                (2, "alpha alpha alpha other words here"),
+                (3, "beta filler filler filler filler filler"),
+                (4, "alpha beta filler filler"),
+                (5, "unrelated content entirely"),
+            ],
+            columns=["doc_id", "text"],
+        )
+    )
+    queries = spark.createDataFrame([(1, "alpha beta")], "query_id long, query string")
+    rows = text.bm25_topk(docs, queries, k=5).orderBy("rank").collect()
+    ids = [r["doc_id"] for r in rows]
+    assert 5 not in ids  # no query term -> no score
+    # docs containing BOTH terms outrank single-term docs
+    both = {1, 4}
+    assert set(ids[:2]) == both
+    scores = {r["doc_id"]: r["score_fp"] for r in rows}
+    assert min(scores[i] for i in both) > max(scores[i] for i in set(ids) - both)

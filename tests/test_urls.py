@@ -66,3 +66,23 @@ def test_domain_stats_and_cap(spark):
     got = sorted((r["registered_domain"], r["doc_id"]) for r in kept.collect())
     # x.com keeps the two largest (doc 4: 50, doc 2: 30); y.org keeps both
     assert got == [("x.com", 2), ("x.com", 4), ("y.org", 3), ("y.org", 5)]
+
+
+def test_canonicalize_url_cases(spark):
+    from gdal_vfr_spark.functions.urls import canonicalize_url_expr
+
+    cases = [
+        ("HTTPS://WWW.Example.COM:443/a?utm_source=x&id=1#frag",
+         "https://www.example.com/a?id=1"),
+        ("http://Host.cz:80/", "http://host.cz"),
+        ("http://host.cz:8080/x", "http://host.cz:8080/x"),  # non-default port kept
+        ("https://u:p@site.co.uk/path/?utm_a=1&utm_b=2", "https://site.co.uk/path/"),  # non-root trailing slash kept
+        ("https://a.b/?fbclid=9", "https://a.b"),
+        ("https://a.b/p?id=2&gclid=z&x=3", "https://a.b/p?id=2&x=3"),
+        ("no-scheme-at-all", "no-scheme-at-all"),  # passthrough
+        ("https://a.b/#only-frag", "https://a.b"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r["c"] for r in df.select(canonicalize_url_expr("url").alias("c")).collect()]
+    for (u, want), g in zip(cases, got):
+        assert g == want, (u, g, want)

@@ -2004,6 +2004,77 @@ def q_dedup_cc(spark, sf_dir):
     return out.select("doc_id", "component").orderBy("doc_id")
 
 
+def q_w_sessionize(spark, sf_dir):
+    """Gap-based sessionization (engine addition): per-user sessions
+    split at 30-minute inactivity gaps — lag flag + running sum over
+    ONE shuffle on the user key, then a map-side-combining rollup.
+    Deterministic ordering by (ts, event_id); oracle = the same window
+    arithmetic in DuckDB."""
+    from gdal_vfr_spark.operators.sessions import sessionize
+
+    e = _read(spark, sf_dir, "events")
+    return sessionize(e, gap_minutes=30).orderBy("user_id", "session_idx")
+
+
+def q_graph_pagerank(spark, sf_dir):
+    """Fixed-point PageRank (engine addition) over a synthesized
+    50-node link graph derived from events: 3 unrolled iterations,
+    integer-division contributions + bigint sums (order-free) so the
+    DuckDB oracle — the same iterations as CTEs, kmeans-style — is
+    bit-exact. Complements dedup_cc as the second iterative-DataFrame
+    algorithm."""
+    from gdal_vfr_spark.operators.graph import pagerank_fp
+
+    e = (
+        _read(spark, sf_dir, "events")
+        .select(
+            (F.col("user_id") % 50).alias("src"),
+            ((F.col("user_id") * 7 + F.col("event_id")) % 50).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+    )
+    return pagerank_fp(e, n_iter=3).orderBy("node")
+
+
+def _duck_pagerank_sql(n_iter: int = 3) -> str:
+    ctes = [
+        """e AS (SELECT DISTINCT CAST(user_id % 50 AS BIGINT) AS src,
+                      CAST((user_id * 7 + event_id) % 50 AS BIGINT) AS dst
+               FROM events
+               WHERE user_id % 50 <> (user_id * 7 + event_id) % 50)""",
+        "nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e))",
+        "deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src)",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        # init = PR_SCALE // n (python int floor division); base =
+        # int((1.0 - 0.85) * 1e6 / n) — mirrored op order exactly
+        """r0 AS (SELECT node,
+                 CAST(1000000 // (SELECT n FROM nn) AS BIGINT) AS pr FROM nodes)""",
+    ]
+    base = (
+        "CAST(floor((1.0 - 0.85) * 1000000 / CAST((SELECT n FROM nn) AS DOUBLE))"
+        " AS BIGINT)"
+    )
+    for t in range(1, n_iter + 1):
+        ctes.append(
+            f"""c{t} AS (SELECT e.dst AS node,
+                 CAST(sum(r.pr // d.outdeg) AS BIGINT) AS s
+               FROM e JOIN r{t - 1} r ON e.src = r.node
+                      JOIN deg d ON e.src = d.src
+               GROUP BY e.dst)"""
+        )
+        ctes.append(
+            f"""r{t} AS (SELECT n.node,
+                 CAST({base} + floor(0.85 * CAST(COALESCE(c.s, 0) AS DOUBLE))
+                      AS BIGINT) AS pr
+               FROM nodes n LEFT JOIN c{t} c ON n.node = c.node)"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT node, pr AS pr_fp FROM r{n_iter} ORDER BY node"
+    )
+
+
 def q_asof_join(spark, sf_dir):
     """As-of join (engine extra; absent in reference §2.11): each event
     aligned to the user's most recent order on/before the event time.
@@ -2055,6 +2126,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_decontaminate": q_dedup_decontaminate,
         "web_url_canonicalize": q_web_url_canonicalize,
         "text_bm25_topk": q_text_bm25_topk,
+        "w_sessionize": q_w_sessionize,
+        "graph_pagerank": q_graph_pagerank,
         "dedup_cc": q_dedup_cc,
         "dedup_keep_best": q_dedup_keep_best,
         "dedup_representatives": q_dedup_representatives,
@@ -2590,6 +2663,33 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY quality DESC, doc_id ASC) AS rn
               FROM fulls
             ) WHERE rn = 1 ORDER BY component
+        """,
+        "graph_pagerank": _duck_pagerank_sql(3),
+        "w_sessionize": """
+            WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+                       FROM events),
+            flag AS (
+              SELECT user_id, event_id, ts,
+                CASE WHEN lag(ts) OVER w IS NULL
+                       OR CAST(floor(epoch(ts)) AS BIGINT)
+                          - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+                     THEN 1 ELSE 0 END AS ns
+              FROM e
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+            ), num AS (
+              SELECT user_id, ts,
+                CAST(sum(ns) OVER (PARTITION BY user_id
+                  ORDER BY ts ASC, event_id ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                  AS session_idx
+              FROM flag
+            )
+            SELECT user_id, session_idx, count(*) AS n_events,
+                   min(ts) AS session_start, max(ts) AS session_end,
+                   CAST(floor(epoch(max(ts))) AS BIGINT)
+                   - CAST(floor(epoch(min(ts))) AS BIGINT) AS duration_sec
+            FROM num GROUP BY user_id, session_idx
+            ORDER BY user_id, session_idx
         """,
         "text_bm25_topk": f"""
             WITH toks AS (SELECT doc_id, {_duck_tokens('text')} AS t FROM documents),

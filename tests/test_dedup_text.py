@@ -479,3 +479,21 @@ def test_bm25_topk_ranking_semantics(spark):
     assert set(ids[:2]) == both
     scores = {r["doc_id"]: r["score_fp"] for r in rows}
     assert min(scores[i] for i in both) > max(scores[i] for i in set(ids) - both)
+
+
+def test_pagerank_fp_hand_graph(spark):
+    """Hand-checked fixed-point PageRank on 1->2, 2->1, 3->1: exact
+    micro-unit values after one iteration, authority ordering stable
+    after three."""
+    from gdal_vfr_spark.operators.graph import pagerank_fp
+
+    e = spark.createDataFrame([(1, 2), (2, 1), (3, 1)], "src long, dst long")
+    r1 = {r["node"]: r["pr_fp"] for r in pagerank_fp(e, n_iter=1).collect()}
+    # init = 1000000 // 3 = 333333; base = int(0.15e6 / 3) = 50000
+    assert r1 == {
+        1: 50000 + int(0.85 * 666666),  # two full in-contributions
+        2: 50000 + int(0.85 * 333333),
+        3: 50000,  # no in-edges: base only
+    }
+    r3 = {r["node"]: r["pr_fp"] for r in pagerank_fp(e, n_iter=3).collect()}
+    assert r3[1] > r3[2] > r3[3]

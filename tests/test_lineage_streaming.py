@@ -177,3 +177,33 @@ def test_asof_join_matches_pandas(spark):
     )
     got = out.sort_values("id").reset_index(drop=True)
     assert got["val"].fillna(-1).tolist() == want["val"].fillna(-1).tolist()
+
+
+def test_sessionize_gap_semantics(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from gdal_vfr_spark.operators.sessions import sessionize
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    m = pd.Timedelta(minutes=1)
+    rows = [
+        # user 1: 3 events tight, 31-min gap, 2 more events
+        (1, 1, base), (1, 2, base + 5 * m), (1, 3, base + 10 * m),
+        (1, 4, base + 41 * m), (1, 5, base + 45 * m),
+        # user 2: single event
+        (2, 6, base),
+        # user 1: exact 30-min gap does NOT split (strictly greater)
+        (1, 7, base + 75 * m),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["user_id", "event_id", "ts"])
+    )
+    out = {
+        (r["user_id"], r["session_idx"]): (r["n_events"], r["duration_sec"])
+        for r in sessionize(df, gap_minutes=30).collect()
+    }
+    assert out[(1, 1)] == (3, 600)
+    assert out[(1, 2)] == (3, 34 * 60)  # 41 -> 45 -> 75 min: 30-min gap kept
+    assert out[(2, 1)] == (1, 0)
+    assert len(out) == 3

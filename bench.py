@@ -57,8 +57,14 @@ HEADLINE = [
     "ann_ivf_topk",
     "web_domain_stats",
     "web_cap_per_domain",
-    # round-3 addition: parcel-scale PIP via the partitioned-index path
+    # round-3 additions: parcel-scale PIP via the partitioned-index
+    # path, plus the new pipeline operators (floors in BASELINE.md)
     "geo_pip_parcely_large",
+    "dedup_decontaminate",
+    "web_url_canonicalize",
+    "text_bm25_topk",
+    "w_sessionize",
+    "graph_pagerank",
 ]
 
 # 240M pages (vs the r1/r2 40M): interior-cell certification made the

@@ -298,20 +298,31 @@ def bm25_topk(
     at 10^12 docs you would materialize tf/dl as a posting-list table
     and reuse it across query batches (same once-per-job vs per-batch
     split as the PIP joiners)."""
+    from pyspark.sql import Window
+
+    # ONE corpus tokenization feeds both tf and dl: dl = sum(tf) over
+    # the doc partition (a window on the already-aggregated tf table —
+    # no second scan, no corpus-sized sort-merge join back to docs)
     toks = docs.select(F.col(id_col), F.explode(tokens_expr(text_col)).alias("term"))
     tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
-    dl = docs.select(F.col(id_col), token_count_expr(text_col).alias("dl"))
-    stats = dl.agg(
-        F.count("*").alias("n"), F.sum("dl").alias("total")
+    tf = tf.withColumn("dl", F.sum("tf").over(Window.partitionBy(id_col)))
+    stats = docs.agg(
+        F.count("*").alias("n"), F.sum(token_count_expr(text_col)).alias("total")
     ).first()
     n_docs = int(stats["n"])
     avgdl = float(stats["total"]) / float(n_docs) if n_docs else 1.0
     qterms = queries.select(
         F.col(query_id_col), F.explode(tokens_expr(query_col)).alias("term")
     ).distinct()
-    hits = tf.join(F.broadcast(qterms), "term")
-    dfreq = hits.groupBy("term").agg(
-        F.count_distinct(F.col(id_col)).alias("df")
+    # prune by the term set FIRST (query-id-free, so df counts stay
+    # per-term even when several queries share a term). df is a COUNT
+    # WINDOW over the pruned slice, not a separate aggregate branch — a
+    # second branch would re-tokenize the whole corpus inside its
+    # broadcast subtree (Spark does not share unpersisted subplans);
+    # the window costs one exchange of the tiny pruned table instead
+    pruned = tf.join(F.broadcast(qterms.select("term").distinct()), "term")
+    pruned = pruned.withColumn(
+        "df", F.count("*").over(Window.partitionBy("term"))
     )
     dfd = F.col("df").cast("double")
     tfd = F.col("tf").cast("double")
@@ -322,14 +333,11 @@ def bm25_topk(
     )
     contrib = F.floor((idf * norm) * F.lit(1048576.0)).cast("long")
     scored = (
-        hits.join(F.broadcast(dfreq), "term")
-        .join(dl, id_col)
+        pruned.join(F.broadcast(qterms), "term")
         .select(query_id_col, id_col, contrib.alias("s"))
         .groupBy(query_id_col, id_col)
         .agg(F.sum("s").alias("score_fp"))
     )
-    from pyspark.sql import Window
-
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("score_fp"), F.asc(id_col)
     )

@@ -71,6 +71,20 @@ AUDIT = [
     # (cogroup pair) before the final agg + contract orderBy. No
     # driver-side collect of the dimension anywhere in the plan.
     ("geo_pip_parcely_large", dict(max_python=5, want_broadcast=True, max_shuffles=5)),
+    # decontamination: bench shingle set broadcast; shuffles = bench
+    # distinct, per-doc count agg, contract orderBy
+    ("dedup_decontaminate", dict(max_python=0, want_broadcast=True, max_shuffles=4)),
+    ("web_url_canonicalize", dict(max_python=0, max_shuffles=1)),
+    # bm25: ONE corpus scan. Corpus-sized exchanges: tf agg, dl window
+    # (doc key), df window (term key, pruned slice), score agg, top-k
+    # window, contract orderBy = 6; the other 2 counted exchanges are
+    # distinct-aggs over the 9-row literal query-terms frame (one per
+    # broadcast branch) — constant-size, not scale-relevant
+    ("text_bm25_topk", dict(max_python=0, want_broadcast=True, max_shuffles=8)),
+    ("w_sessionize", dict(max_python=0, max_shuffles=4)),
+    # pagerank's returned plan is shallow (localCheckpoint per round,
+    # like dedup_cc); budget covers the final left join + orderBy
+    ("graph_pagerank", dict(max_python=0, max_shuffles=4)),
 ]
 
 

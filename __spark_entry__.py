@@ -2016,6 +2016,48 @@ def q_w_sessionize(spark, sf_dir):
     return sessionize(e, gap_minutes=30).orderBy("user_id", "session_idx")
 
 
+_SSESS_SEQ = [0]
+
+
+def q_stream_sessionize(spark, sf_dir):
+    """§2.10 + sessions — STATEFUL streaming sessionization
+    (applyInPandasWithState with real cross-batch state: the open
+    session per user). Events arrive as two time-ordered files split
+    at the median timestamp; sessions closed by a 30-min gap emit in
+    append mode, open sessions stay in state. Exact oracle: batch
+    sessionize MINUS each user's final (still-open) session."""
+    _ensure_shipped(spark)
+    import glob
+    import shutil
+    import tempfile
+
+    from gdal_vfr_spark.streaming.incremental import streaming_sessionize
+
+    e = _read(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    cut = e.agg(F.expr("percentile_approx(ts, 0.5)").alias("c")).first()["c"]
+    tmp = tempfile.mkdtemp(prefix="gvs_ssess_")
+    src = os.path.join(tmp, "events")
+    os.makedirs(src)
+    batches = (e.where(F.col("ts") <= F.lit(cut)), e.where(F.col("ts") > F.lit(cut)))
+    for i, batch in enumerate(batches, start=1):
+        stage = os.path.join(tmp, f"stage{i}")
+        batch.repartition(1).sortWithinPartitions("ts", "event_id").write.parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(src, f"{i:04d}.parquet"))
+    _SSESS_SEQ[0] += 1
+    out = streaming_sessionize(
+        spark,
+        src,
+        schema=e.schema,
+        checkpoint_dir=os.path.join(tmp, "ckpt"),
+        out_table=f"stream_sessionize_{_SSESS_SEQ[0]}",
+        gap_minutes=30,
+    )
+    return out.orderBy("user_id", "session_idx")
+
+
 def q_graph_pagerank(spark, sf_dir):
     """Fixed-point PageRank (engine addition) over a synthesized
     50-node link graph derived from events: 3 unrolled iterations,
@@ -2128,6 +2170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bm25_topk": q_text_bm25_topk,
         "w_sessionize": q_w_sessionize,
         "graph_pagerank": q_graph_pagerank,
+        "stream_sessionize": q_stream_sessionize,
         "dedup_cc": q_dedup_cc,
         "dedup_keep_best": q_dedup_keep_best,
         "dedup_representatives": q_dedup_representatives,
@@ -2665,6 +2708,36 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rn = 1 ORDER BY component
         """,
         "graph_pagerank": _duck_pagerank_sql(3),
+        "stream_sessionize": """
+            WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+                       FROM events),
+            flag AS (
+              SELECT user_id, event_id, ts,
+                CASE WHEN lag(ts) OVER w IS NULL
+                       OR CAST(floor(epoch(ts)) AS BIGINT)
+                          - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+                     THEN 1 ELSE 0 END AS ns
+              FROM e
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+            ), num AS (
+              SELECT user_id, ts,
+                CAST(sum(ns) OVER (PARTITION BY user_id
+                  ORDER BY ts ASC, event_id ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                  AS session_idx
+              FROM flag
+            ), s AS (
+              SELECT user_id, session_idx, count(*) AS n_events,
+                     min(ts) AS session_start, max(ts) AS session_end,
+                     CAST(floor(epoch(max(ts))) AS BIGINT)
+                     - CAST(floor(epoch(min(ts))) AS BIGINT) AS duration_sec
+              FROM num GROUP BY user_id, session_idx
+            ), mx AS (SELECT user_id, max(session_idx) AS m FROM s GROUP BY user_id)
+            SELECT s.user_id, s.session_idx, s.n_events, s.session_start,
+                   s.session_end, s.duration_sec
+            FROM s JOIN mx USING (user_id) WHERE s.session_idx < mx.m
+            ORDER BY user_id, session_idx
+        """,
         "w_sessionize": """
             WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
                        FROM events),

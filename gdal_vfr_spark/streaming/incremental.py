@@ -132,6 +132,122 @@ def streaming_exact_dedup(
     return spark.table(out_table)
 
 
+def streaming_sessionize(
+    spark,
+    events_dir: str,
+    schema,
+    checkpoint_dir: str,
+    out_table: str,
+    gap_minutes: int = 30,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+):
+    """Stateful streaming sessionization (applyInPandasWithState — the
+    second custom stateful operator next to streaming_exact_dedup, and
+    the one with REAL cross-batch state evolution: the open session).
+
+    State per user = (session_idx, start_us, last_us, n_events). Each
+    micro-batch folds its (ts, id)-sorted events into the open session;
+    a gap > gap_minutes CLOSES the session (emitted, append mode) and
+    opens the next. Sessions still open when the stream drains are
+    never emitted — so the exact batch-equivalence contract is
+    `operators.sessions.sessionize` MINUS each user's final session
+    (pinned by the q_stream_sessionize oracle).
+
+    Requires per-user event-time order across micro-batches (the
+    staged file source guarantees it here; a production stream gets it
+    from ordered ingestion, or buffers out-of-order events with a
+    watermark — state shape unchanged). Gap/duration arithmetic uses
+    floor-second epochs, mirroring the batch operator exactly."""
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField(user_col, T.LongType()),
+            T.StructField("session_idx", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("session_start", T.TimestampType()),
+            T.StructField("session_end", T.TimestampType()),
+            T.StructField("duration_sec", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("idx", T.LongType()),
+            T.StructField("start_us", T.LongType()),
+            T.StructField("last_us", T.LongType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+    gap_s = gap_minutes * 60
+
+    def _fold(key, pdfs, state):
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if not len(rows):
+            return
+        rows = rows.sort_values([ts_col, id_col], kind="mergesort")
+        ts_us = (rows[ts_col].astype("datetime64[ns]").astype("int64") // 1000).to_numpy()
+        if state.exists:
+            idx, start_us, last_us, n = state.get
+        else:
+            idx, start_us, last_us, n = 0, None, None, 0
+        closed = []
+        for t in ts_us:
+            t = int(t)
+            if start_us is None:
+                idx, start_us, last_us, n = idx + 1, t, t, 1
+            elif t // 1_000_000 - last_us // 1_000_000 > gap_s:
+                closed.append((idx, start_us, last_us, n))
+                idx, start_us, last_us, n = idx + 1, t, t, 1
+            else:
+                last_us, n = t, n + 1
+        state.update((idx, start_us, last_us, n))
+        if closed:
+            yield pd.DataFrame(
+                {
+                    user_col: [int(key[0])] * len(closed),
+                    "session_idx": [c[0] for c in closed],
+                    "n_events": [c[3] for c in closed],
+                    "session_start": pd.to_datetime([c[1] for c in closed], unit="us"),
+                    "session_end": pd.to_datetime([c[2] for c in closed], unit="us"),
+                    "duration_sec": [
+                        c[2] // 1_000_000 - c[1] // 1_000_000 for c in closed
+                    ],
+                }
+            )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+    )
+    sess = stream.groupBy(F.col(user_col).cast("long").alias(user_col)).applyInPandasWithState(
+        _fold,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        q = (
+            sess.writeStream.format("memory")
+            .queryName(out_table)
+            .outputMode("append")
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(out_table)
+
+
 def windowed_event_counts(
     events_stream: DataFrame,
     window: str = "1 hour",

@@ -207,3 +207,46 @@ def test_sessionize_gap_semantics(spark):
     assert out[(1, 2)] == (3, 34 * 60)  # 41 -> 45 -> 75 min: 30-min gap kept
     assert out[(2, 1)] == (1, 0)
     assert len(out) == 3
+
+
+def test_streaming_sessionize_state_spans_batches(spark, tmp_path):
+    """The open session must survive the micro-batch boundary: events
+    split across two files belong to ONE session when no gap exceeds
+    the threshold, and only gap-closed sessions are emitted."""
+    import glob
+    import os
+    import shutil
+
+    import pandas as pd
+
+    from gdal_vfr_spark.streaming.incremental import streaming_sessionize
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    m = pd.Timedelta(minutes=1)
+    f1 = pd.DataFrame(
+        [(1, 1, base), (1, 2, base + 5 * m)],
+        columns=["user_id", "event_id", "ts"],
+    )
+    f2 = pd.DataFrame(
+        [(1, 3, base + 8 * m), (1, 4, base + 50 * m)],
+        columns=["user_id", "event_id", "ts"],
+    )
+    src = str(tmp_path / "events")
+    os.makedirs(src)
+    for i, pdf in enumerate((f1, f2), start=1):
+        stage = str(tmp_path / f"stage{i}")
+        spark.createDataFrame(pdf).coalesce(1).write.parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(src, f"{i:04d}.parquet"))
+    out = streaming_sessionize(
+        spark,
+        src,
+        schema=spark.createDataFrame(f1).schema,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        out_table="t_ssess_span",
+        gap_minutes=30,
+    ).collect()
+    assert len(out) == 1  # only the gap-closed session; the open one stays in state
+    r = out[0]
+    assert (r["user_id"], r["session_idx"], r["n_events"]) == (1, 1, 3)
+    assert r["duration_sec"] == 8 * 60  # spans the batch boundary unbroken

@@ -503,6 +503,39 @@ def _duck_streets_scored_ctes(geo: str, pts_filter: str = "event_id % 100 = 1") 
             )"""
 
 
+def _duck_streets_large_scored_ctes(
+    geo: str, n_side: int = 350, pts_filter: str = "event_id % 200 = 1"
+) -> str:
+    """Large-street-grid variant of _duck_streets_scored_ctes: exact
+    regeneration of datagen.gen_ulice_large endpoints (one horizontal
+    mid-cell segment per grid cell, 0.2..0.8 of the cell width) + the
+    same clamped-projection distance."""
+    t = (
+        "((p.lon - st.x1) * (st.x2 - st.x1) + (p.lat - st.y1) * (st.y2 - st.y1))"
+        " / ((st.x2 - st.x1) * (st.x2 - st.x1) + (st.y2 - st.y1) * (st.y2 - st.y1))"
+    )
+    ex = f"(p.lon - (st.x1 + LEAST(GREATEST({t}, 0), 1) * (st.x2 - st.x1)))"
+    ey = f"(p.lat - (st.y1 + LEAST(GREATEST({t}, 0), 1) * (st.y2 - st.y1)))"
+    return f"""prm AS (
+              SELECT (CAST(15 AS DOUBLE) - 14) / {n_side} AS gdx,
+                     (CAST(50.5 AS DOUBLE) - 49.5) / {n_side} AS gdy
+            ), streets AS (
+              SELECT 60000000 + iy.i * {n_side} + ix.i AS kod,
+                     (14 + ix.i * prm.gdx) + 0.2 * prm.gdx AS x1,
+                     (49.5 + iy.i * prm.gdy) + 0.5 * prm.gdy AS y1,
+                     (14 + ix.i * prm.gdx) + 0.8 * prm.gdx AS x2,
+                     (49.5 + iy.i * prm.gdy) + 0.5 * prm.gdy AS y2
+              FROM (SELECT unnest(range(0, {n_side})) AS i) ix,
+                   (SELECT unnest(range(0, {n_side})) AS i) iy, prm
+            ), pts AS (
+              SELECT event_id, lon, lat FROM ({geo})
+              WHERE lon IS NOT NULL AND {pts_filter}
+            ), scored AS (
+              SELECT p.event_id, st.kod, {ex} * {ex} + {ey} * {ey} AS d2
+              FROM pts p CROSS JOIN streets st
+            )"""
+
+
 def _duck_ivf_topk_sql(
     k: int = 3,
     n_queries: int = 5,
@@ -2058,6 +2091,38 @@ def q_stream_sessionize(spark, sf_dir):
     return out.orderBy("user_id", "session_idx")
 
 
+def _ulice_large_joiner(spark):
+    key = (spark.sparkContext.applicationId, "ulice_large")
+    j = _JOINER_CACHE.get(key)
+    if j is None:
+        from gdal_vfr_spark.geo.knn import PartitionedLineRangeJoiner
+
+        j = PartitionedLineRangeJoiner(
+            datagen.gen_ulice_large(spark, n_side=350),
+            target_key="kod",
+            max_dist=0.004,
+        )
+        _JOINER_CACHE[key] = j
+    return j
+
+
+def q_geo_range_join_large(spark, sf_dir):
+    """Distance-band join at STREET scale — the partitioned-index
+    counterpart to geo_range_join: sampled pages against a
+    122,500-street grid (datagen.gen_ulice_large, distributed) via
+    PartitionedLineRangeJoiner — segment endpoints never reach the
+    driver, never broadcast; points drop map-side via the group
+    presence set and shuffle once to meet their group's segments.
+    Oracle = brute-force clamped-projection distances over the
+    arithmetically regenerated street grid."""
+    _ensure_shipped(spark)
+    g = _events_geo(spark, sf_dir).where(F.col("event_id") % 200 == 1)
+    out = _ulice_large_joiner(spark).apply(g, id_col="event_id")
+    return out.select(
+        "event_id", F.col("neighbor_key").alias("kod"), "dist2"
+    ).orderBy("event_id", "kod")
+
+
 def q_graph_pagerank(spark, sf_dir):
     """Fixed-point PageRank (engine addition) over a synthesized
     50-node link graph derived from events: 3 unrolled iterations,
@@ -2171,6 +2236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w_sessionize": q_w_sessionize,
         "graph_pagerank": q_graph_pagerank,
         "stream_sessionize": q_stream_sessionize,
+        "geo_range_join_large": q_geo_range_join_large,
         "dedup_cc": q_dedup_cc,
         "dedup_keep_best": q_dedup_keep_best,
         "dedup_representatives": q_dedup_representatives,
@@ -2353,7 +2419,7 @@ def oracle_sql() -> dict[str, str]:
             FROM ({geo}) WHERE lon IS NOT NULL AND event_id % 10 = 1
         """,
         "geo_pip_parcely_large": f"""
-            SELECT 30000000 + CAST(floor((lat - 49.5) * 350) AS BIGINT) * 350
+            SELECT 50000000 + CAST(floor((lat - 49.5) * 350) AS BIGINT) * 350
                    + CAST(floor((lon - 14.0) * 350) AS BIGINT) AS parcel_kod,
                    count(*) AS n_pages
             FROM ({geo}) WHERE lon IS NOT NULL AND event_id % 3 = 0
@@ -2708,6 +2774,12 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rn = 1 ORDER BY component
         """,
         "graph_pagerank": _duck_pagerank_sql(3),
+        "geo_range_join_large": f"""
+            WITH {_duck_streets_large_scored_ctes(geo)}
+            SELECT event_id, kod, d2 AS dist2 FROM scored
+            WHERE d2 <= {repr(0.004 * 0.004)}
+            ORDER BY event_id, kod
+        """,
         "stream_sessionize": """
             WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
                        FROM events),

@@ -65,6 +65,7 @@ HEADLINE = [
     "text_bm25_topk",
     "w_sessionize",
     "graph_pagerank",
+    "geo_range_join_large",
 ]
 
 # 240M pages (vs the r1/r2 40M): interior-cell certification made the

@@ -30,7 +30,7 @@ TILE_RES = 15
 OBEC_BASE = 500000
 KU_BASE = 600000
 PAR_BASE = 70000000
-PARL_BASE = 30000000  # large-parcel grid (gen_parcely_large)
+PARL_BASE = 50000000  # large-parcel grid (gen_parcely_large; distinct from AM_BASE)
 ULICE_BASE = 100000
 BASE_TS = np.datetime64("2024-01-01T00:00:00")
 
@@ -288,6 +288,36 @@ def gen_parcely_large(spark, n_side: int = 500, densify: int = 1):
 
     return spark.range(n_side * n_side).mapInPandas(
         _gen, "kod long, originalni_hranice binary"
+    )
+
+
+ULICE_L_BASE = 60000000  # large street grid (gen_ulice_large)
+
+
+def gen_ulice_large(spark, n_side: int = 350):
+    """Street-scale line layer: one horizontal street per cell of an
+    n_side x n_side grid — segment (x0 + 0.2*dx, yc) -> (x0 + 0.8*dx,
+    yc) with yc = y0 + 0.5*dy — GENERATED DISTRIBUTEDLY (spark.range ->
+    mapInPandas), endpoints pure float arithmetic so oracles regenerate
+    them bit-exactly. Pairs with PartitionedLineRangeJoiner the way
+    gen_parcely_large pairs with PartitionedPIPJoiner."""
+    dx = (LON1 - LON0) / n_side
+    dy = (LAT1 - LAT0) / n_side
+
+    def _gen(batches):
+        for pdf in batches:
+            i = pdf["id"].to_numpy(dtype=np.int64)
+            geom = []
+            for k in i:
+                ix, iy = int(k % n_side), int(k // n_side)
+                x0 = LON0 + ix * dx
+                yc = (LAT0 + iy * dy) + 0.5 * dy
+                line = np.asarray([[x0 + 0.2 * dx, yc], [x0 + 0.8 * dx, yc]])
+                geom.append(wkb.multilinestring([line]))
+            yield pd.DataFrame({"kod": ULICE_L_BASE + i, "definicni_cara": geom})
+
+    return spark.range(n_side * n_side).mapInPandas(
+        _gen, "kod long, definicni_cara binary"
     )
 
 

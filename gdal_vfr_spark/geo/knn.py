@@ -700,3 +700,200 @@ def knn_join(
             )
 
     return src.mapInPandas(_map, schema=out_schema)
+
+
+class PartitionedLineRangeJoiner:
+    """Distance-band join for HUGE line layers (street-scale: 10^6-10^8
+    segments), where LineKNNJoiner's driver-collect + broadcast index
+    stops scaling — the partitioned counterpart to
+    pip.PartitionedPIPJoiner, same contract as apply_range.
+
+    Scale shape — segment endpoints NEVER reach the driver and are
+    never broadcast:
+
+    1. group table (__grp, __key, x1, y1, x2, y2): each target row is
+       decoded ONCE in mapInPandas and its segments registered to every
+       coarse gres-cell whose rectangle, inflated by max_dist (the
+       HALO), intersects the segment bbox. A segment within max_dist of
+       any point in group G is therefore guaranteed to be registered in
+       G — candidate completeness holds and each (point, key) pair is
+       found in exactly one group (the point's own). Persisted: this
+       IS the prepared index.
+    2. presence set (distinct __grp, one long per group) — the only
+       broadcast artifact; points drop map-side when their group holds
+       no segment (most of the planet, for a street layer).
+    3. surviving points shuffle ONCE, keyed by their gres cell, into a
+       cogrouped applyInPandas that computes exact clamped-projection
+       distances (blocked numpy, same float64 op order as
+       _point_seg_dist2 everywhere else) and keeps the min per
+       (point, key) within the band.
+
+    gres defaults to the coarsest grid whose cell side stays >=
+    16*max_dist — halo duplication bounded by ~(1 + 1/8)^2 while
+    keeping groups small enough to spread across executors; pass gres
+    to tune. Group-size skew (megacity streets) follows the same salt
+    recipe as PartitionedPIPJoiner if needed."""
+
+    def __init__(
+        self,
+        targets_df: DataFrame,
+        target_key: str,
+        max_dist: float,
+        geom_col: str = "definicni_cara",
+        gres: int | None = None,
+    ):
+        import math
+
+        from pyspark.storagelevel import StorageLevel
+
+        self.max_dist = float(max_dist)
+        if gres is None:
+            gres = int(
+                np.clip(
+                    math.floor(math.log2(180.0 / (16.0 * self.max_dist))),
+                    0,
+                    cells.MAX_RES,
+                )
+            )
+        self.gres = gres
+        maxd = self.max_dist
+        n = 1 << gres
+
+        segs = targets_df.select(
+            F.col(target_key).cast("long").alias("__key"),
+            F.col(geom_col).alias("__geom"),
+        ).where(F.col(geom_col).isNotNull())
+
+        def _groups(batches):
+            from gdal_vfr_spark.geo import wkb as W
+
+            for pdf in batches:
+                grp_o: list[int] = []
+                key_o: list[int] = []
+                x1_o: list[float] = []
+                y1_o: list[float] = []
+                x2_o: list[float] = []
+                y2_o: list[float] = []
+                for k, buf in zip(pdf["__key"], pdf["__geom"]):
+                    for line in W.decode_lines(bytes(buf)):
+                        if len(line) < 2:
+                            continue
+                        for (ax, ay), (bx, by) in zip(line[:-1], line[1:]):
+                            ix0, iy0 = cells.lonlat_to_grid(
+                                np.asarray([min(ax, bx) - maxd]),
+                                np.asarray([min(ay, by) - maxd]),
+                                gres,
+                            )
+                            ix1, iy1 = cells.lonlat_to_grid(
+                                np.asarray([max(ax, bx) + maxd]),
+                                np.asarray([max(ay, by) + maxd]),
+                                gres,
+                            )
+                            xs = np.arange(int(ix0[0]), min(int(ix1[0]), n - 1) + 1)
+                            ys = np.arange(int(iy0[0]), min(int(iy1[0]), n - 1) + 1)
+                            gx, gy = np.meshgrid(xs, ys)
+                            gc = (
+                                cells.morton_encode(
+                                    gx.ravel().astype(np.int64),
+                                    gy.ravel().astype(np.int64),
+                                )
+                                << np.int64(5)
+                            ) | np.int64(gres)
+                            for g in gc:
+                                grp_o.append(int(g))
+                                key_o.append(int(k))
+                                x1_o.append(float(ax))
+                                y1_o.append(float(ay))
+                                x2_o.append(float(bx))
+                                y2_o.append(float(by))
+                if grp_o:
+                    yield pd.DataFrame(
+                        {
+                            "__grp": np.asarray(grp_o, dtype=np.int64),
+                            "__key": np.asarray(key_o, dtype=np.int64),
+                            "x1": x1_o,
+                            "y1": y1_o,
+                            "x2": x2_o,
+                            "y2": y2_o,
+                        }
+                    )
+
+        self._groups_sdf = segs.mapInPandas(
+            _groups, "__grp long, __key long, x1 double, y1 double, x2 double, y2 double"
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        self._present = self._groups_sdf.select("__grp").distinct()
+
+    def apply(
+        self,
+        points_df: DataFrame,
+        lon_col: str = "lon",
+        lat_col: str = "lat",
+        id_col: str = "url",
+    ) -> DataFrame:
+        import pandas as _pd
+        from pyspark.sql import types as T
+
+        maxd2 = self.max_dist * self.max_dist
+        id_field = points_df.schema[id_col]
+        out_schema = T.StructType(
+            [
+                id_field,
+                T.StructField("neighbor_key", T.LongType()),
+                T.StructField("dist2", T.DoubleType()),
+            ]
+        )
+        src = (
+            points_df.select(id_col, lon_col, lat_col)
+            .where(F.col(lon_col).isNotNull() & F.col(lat_col).isNotNull())
+            .withColumn("__grp", cells.cell_expr(F.col(lon_col), F.col(lat_col), self.gres))
+            .join(F.broadcast(self._present), "__grp", "leftsemi")
+        )
+
+        def _refine(pts_pdf: _pd.DataFrame, seg_pdf: _pd.DataFrame) -> _pd.DataFrame:
+            if not len(pts_pdf) or not len(seg_pdf):
+                return _pd.DataFrame(
+                    {
+                        id_col: pts_pdf[id_col].iloc[0:0],
+                        "neighbor_key": _pd.Series([], dtype="int64"),
+                        "dist2": _pd.Series([], dtype="float64"),
+                    }
+                )
+            qx = pts_pdf[lon_col].to_numpy(dtype=np.float64)
+            qy = pts_pdf[lat_col].to_numpy(dtype=np.float64)
+            x1 = seg_pdf["x1"].to_numpy(dtype=np.float64)
+            y1 = seg_pdf["y1"].to_numpy(dtype=np.float64)
+            x2 = seg_pdf["x2"].to_numpy(dtype=np.float64)
+            y2 = seg_pdf["y2"].to_numpy(dtype=np.float64)
+            keys = seg_pdf["__key"].to_numpy(dtype=np.int64)
+            nseg = len(x1)
+            chunk = max(1, int(2e7 / nseg))
+            out_i: list[np.ndarray] = []
+            out_k: list[np.ndarray] = []
+            out_d: list[np.ndarray] = []
+            for s in range(0, len(qx), chunk):
+                e = min(s + chunk, len(qx))
+                d2 = _point_seg_dist2(
+                    qx[s:e][:, None], qy[s:e][:, None],
+                    x1[None, :], y1[None, :], x2[None, :], y2[None, :],
+                )
+                qi = np.repeat(np.arange(s, e, dtype=np.int64), nseg)
+                kv = np.tile(keys, e - s)
+                rq, rv, rd = _reduce_min_per_key(qi, kv, d2.ravel())
+                keep = rd <= maxd2
+                out_i.append(rq[keep])
+                out_k.append(rv[keep])
+                out_d.append(rd[keep])
+            qi = np.concatenate(out_i)
+            return _pd.DataFrame(
+                {
+                    id_col: pts_pdf[id_col].to_numpy()[qi],
+                    "neighbor_key": np.concatenate(out_k),
+                    "dist2": np.concatenate(out_d),
+                }
+            )
+
+        return (
+            src.groupby("__grp")
+            .cogroup(self._groups_sdf.groupby("__grp"))
+            .applyInPandas(_refine, out_schema)
+        )

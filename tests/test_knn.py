@@ -307,3 +307,44 @@ def test_range_lines_brute_fallback_matches_ring_walk():
         assert {k for (q, k) in got if q == i} == set(want)
         for kk, d in want.items():
             assert abs(got[(i, kk)] - d) < 1e-12
+
+
+def test_partitioned_line_range_parity(spark):
+    """PartitionedLineRangeJoiner (no driver collect / broadcast of the
+    segment side) must return exactly the broadcast path's band."""
+    from pyspark.sql import functions as F
+
+    from gdal_vfr_spark.geo.knn import PartitionedLineRangeJoiner, range_join_lines
+
+    pages = datagen.gen_webpages(spark, n=1500, seed=19)
+    ulice = datagen.gen_ulice(spark)
+    want = sorted(
+        (r["url"], r["neighbor_key"], round(r["dist2"], 15))
+        for r in range_join_lines(
+            pages, ulice, max_dist=0.02, target_key="kod", id_col="url"
+        ).collect()
+    )
+    pj = PartitionedLineRangeJoiner(ulice, target_key="kod", max_dist=0.02)
+    got = sorted(
+        (r["url"], r["neighbor_key"], round(r["dist2"], 15))
+        for r in pj.apply(pages, id_col="url").collect()
+    )
+    assert got == want
+    # large-layer shape: distributed street grid, every matched street is
+    # genuinely within the band
+    streets = datagen.gen_ulice_large(spark, n_side=60)
+    pj2 = PartitionedLineRangeJoiner(streets, target_key="kod", max_dist=0.004)
+    out = pj2.apply(pages, id_col="url")
+    rows = out.collect()
+    assert len(rows) > 0
+    assert all(r["dist2"] <= 0.004 * 0.004 for r in rows)
+    # truth check: the returned street's row index matches the point's
+    # vertical band position (streets are horizontal mid-cell segments)
+    dx = dy = 1.0 / 60
+    for r in rows[:200]:
+        kod = r["neighbor_key"] - 60000000
+        iy = kod // 60
+        # street center lat
+        yc = 49.5 + iy * dy + 0.5 * dy
+        pt = pages.where(F.col("url") == r["url"]).select("lat", "lon").first()
+        assert abs(pt["lat"] - yc) <= 0.004 + 1e-12

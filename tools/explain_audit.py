@@ -85,6 +85,11 @@ AUDIT = [
     # pagerank's returned plan is shallow (localCheckpoint per round,
     # like dedup_cc); budget covers the final left join + orderBy
     ("graph_pagerank", dict(max_python=0, max_shuffles=4)),
+    # partitioned line-range join: python boundaries = street WKB gen +
+    # group-table build (both O(dimension)) + ONE cogrouped refine;
+    # points drop map-side on the broadcast presence set and shuffle
+    # once (cogroup pair) + contract orderBy
+    ("geo_range_join_large", dict(max_python=4, want_broadcast=True, max_shuffles=4)),
 ]
 
 

@@ -2123,6 +2123,33 @@ def q_geo_range_join_large(spark, sf_dir):
     ).orderBy("event_id", "kod")
 
 
+def q_geo_knn_lines_large(spark, sf_dir):
+    """Bounded-radius kNN at STREET scale: the 3 nearest streets WITHIN
+    max_dist per sampled page — the standard scale formulation of kNN
+    over a huge target layer (bound the search radius, rank the band):
+    PartitionedLineRangeJoiner band join + one rank window. Exact by
+    construction (band distances are exact; rank ties break on kod
+    identically in both engines)."""
+    _ensure_shipped(spark)
+    from pyspark.sql import Window
+
+    g = _events_geo(spark, sf_dir).where(F.col("event_id") % 200 == 1)
+    out = _ulice_large_joiner(spark).apply(g, id_col="event_id")
+    w = Window.partitionBy("event_id").orderBy(
+        F.asc("dist2"), F.asc("neighbor_key")
+    )
+    return (
+        out.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select(
+            "event_id",
+            F.col("neighbor_key").alias("kod"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+        .orderBy("event_id", "rank")
+    )
+
+
 def q_graph_pagerank(spark, sf_dir):
     """Fixed-point PageRank (engine addition) over a synthesized
     50-node link graph derived from events: 3 unrolled iterations,
@@ -2237,6 +2264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank": q_graph_pagerank,
         "stream_sessionize": q_stream_sessionize,
         "geo_range_join_large": q_geo_range_join_large,
+        "geo_knn_lines_large": q_geo_knn_lines_large,
         "dedup_cc": q_dedup_cc,
         "dedup_keep_best": q_dedup_keep_best,
         "dedup_representatives": q_dedup_representatives,
@@ -2779,6 +2807,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, kod, d2 AS dist2 FROM scored
             WHERE d2 <= {repr(0.004 * 0.004)}
             ORDER BY event_id, kod
+        """,
+        "geo_knn_lines_large": f"""
+            WITH {_duck_streets_large_scored_ctes(geo)}
+            SELECT event_id, kod, CAST(rank AS BIGINT) AS rank FROM (
+              SELECT event_id, kod,
+                     row_number() OVER (PARTITION BY event_id
+                       ORDER BY d2 ASC, kod ASC) AS rank
+              FROM scored WHERE d2 <= {repr(0.004 * 0.004)}
+            ) WHERE rank <= 3 ORDER BY event_id, rank
         """,
         "stream_sessionize": """
             WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts

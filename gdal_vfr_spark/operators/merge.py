@@ -286,6 +286,24 @@ class ParquetTable:
             df = self.read().unionByName(df)
         self._commit(df)
 
+    def compact(
+        self, target_files: int | None = None, target_rows_per_file: int = 1_000_000
+    ) -> int:
+        """Small-file compaction — the OPTIMIZE analogue every
+        append-heavy table needs (each append_dir/streaming merge batch
+        leaves its own files; scan cost grows with file count, not
+        data). Rewrites the snapshot into ceil(rows / target) files via
+        repartition + the same atomic swap as every other commit; no
+        logical change. Returns the file count written. On Iceberg this
+        maps to rewrite_data_files; here it models the cost in the
+        sandbox."""
+        df = self.read()
+        if target_files is None:
+            n = df.count()
+            target_files = max(1, -(-n // target_rows_per_file))
+        self._commit(df.repartition(target_files))
+        return target_files
+
     def merge(self, changes: DataFrame, key: str = "gml_id") -> DataFrame:
         """M3 — full change pass: classify -> dedup -> apply -> commit.
         Returns the change tally (A3) so callers can log it like the

@@ -224,3 +224,22 @@ def test_bucketed_merge_prunes_and_matches_full_merge(spark, tmp_path):
     t2 = {r["action"]: r["n"] for r in bt.merge(changes).collect()}
     assert t2 == {"update": 50}
     assert sorted(map(tuple, bt.read().collect())) == want
+
+
+def test_compact_reduces_files_preserves_rows(spark, tmp_path):
+    import os
+
+    t = M.ParquetTable(spark, str(tmp_path / "c"))
+    state = obce_state(spark)
+    t.write(state.repartition(8))
+    for _ in range(3):
+        t.append(state.limit(10).repartition(4))
+
+    def nfiles():
+        return len([f for f in os.listdir(t.path) if f.endswith(".parquet")])
+
+    before_rows = sorted(map(tuple, t.read().collect()))
+    assert nfiles() > 2
+    written = t.compact(target_files=2)
+    assert written == 2 and nfiles() == 2
+    assert sorted(map(tuple, t.read().collect())) == before_rows

@@ -1485,6 +1485,22 @@ def q_text_bm25_topk(spark, sf_dir):
     return text_ops.bm25_topk(docs, queries, k=5).orderBy("query_id", "rank")
 
 
+def q_sample_temperature(spark, sf_dir):
+    """Temperature resampling across sources (engine addition — the
+    LLM data-mixing step): integer-exact alpha=0.5 quotas
+    (floor(sqrt(n_s)) weights, ceil-div quota arithmetic) + per-source
+    deterministic md5-first selection. Upweights rare languages,
+    caps the head."""
+    from gdal_vfr_spark.operators import sampling
+
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        sampling.temperature_quota_sample(docs, budget=200, source_col="lang")
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
 def q_text_lang(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
     return (
@@ -2265,6 +2281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sessionize": q_stream_sessionize,
         "geo_range_join_large": q_geo_range_join_large,
         "geo_knn_lines_large": q_geo_knn_lines_large,
+        "sample_temperature": q_sample_temperature,
         "dedup_cc": q_dedup_cc,
         "dedup_keep_best": q_dedup_keep_best,
         "dedup_representatives": q_dedup_representatives,
@@ -2802,6 +2819,22 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rn = 1 ORDER BY component
         """,
         "graph_pagerank": _duck_pagerank_sql(3),
+        "sample_temperature": """
+            WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+            wts AS (SELECT lang, n,
+                           CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS w
+                    FROM c),
+            tot AS (SELECT CAST(sum(w) AS BIGINT) AS wsum FROM wts),
+            q AS (SELECT lang, LEAST(n, (200 * w + wsum - 1) // wsum) AS quota
+                  FROM wts, tot),
+            r AS (SELECT doc_id, lang,
+                         row_number() OVER (PARTITION BY lang
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC,
+                                    doc_id ASC) AS rk
+                  FROM documents)
+            SELECT doc_id, lang FROM r JOIN q USING (lang)
+            WHERE rk <= quota ORDER BY doc_id
+        """,
         "geo_range_join_large": f"""
             WITH {_duck_streets_large_scored_ctes(geo)}
             SELECT event_id, kod, d2 AS dist2 FROM scored

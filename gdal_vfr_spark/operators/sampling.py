@@ -46,3 +46,54 @@ def stratified_sample(
             F.col(strata_col) == F.lit(stratum), F.lit(int(frac * _BUCKETS))
         ).otherwise(thr)
     return df.where(hash_bucket_expr(key) < thr)
+
+
+def temperature_quota_sample(
+    docs: DataFrame,
+    budget: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature resampling across sources — the data-mixing step of
+    multilingual/multi-source LLM training (upweight small sources,
+    cap the head; public technique, e.g. the alpha-temperature mixing
+    of multilingual-BERT/XLM-style pipelines). Implemented at a FIXED
+    temperature alpha=0.5 with INTEGER arithmetic end to end so the
+    cross-engine oracle is exact:
+
+      w_s     = floor(sqrt(n_s))        (IEEE sqrt is correctly
+                                         rounded -> floor is exact and
+                                         identical in every engine)
+      quota_s = min(n_s, ceil(budget * w_s / W)),  W = sum(w_s)
+                (pure bigint arithmetic: (a + c - 1) div c)
+
+    and the quota_s survivors per source are the deterministic
+    md5-first docs (rank over (md5(id), id) — the same content-hash
+    ordering the other samplers use, stable under any partitioning).
+
+    Scale shape: the per-source count aggregate is tiny (one row per
+    source — collect-free: quotas join back as a broadcast); selection
+    is ONE rank window per source key. Zipf-skewed head sources pair
+    with the skew plans like every per-key window here."""
+    from pyspark.sql import Window
+
+    counts = docs.groupBy(source_col).agg(F.count("*").alias("__n"))
+    w = F.floor(F.sqrt(F.col("__n").cast("double"))).cast("long")
+    weights = counts.withColumn("__w", w)
+    tot = weights.agg(F.sum("__w").alias("W"))
+    quotas = weights.crossJoin(F.broadcast(tot)).select(
+        source_col,
+        F.least(
+            F.col("__n"),
+            F.expr(f"(CAST({budget} AS BIGINT) * __w + W - 1) div W"),
+        ).alias("__quota"),
+    )
+    rk = Window.partitionBy(source_col).orderBy(
+        F.md5(F.col(id_col).cast("string")).asc(), F.col(id_col).asc()
+    )
+    return (
+        docs.join(F.broadcast(quotas), source_col)
+        .withColumn("__rk", F.row_number().over(rk))
+        .where(F.col("__rk") <= F.col("__quota"))
+        .drop("__rk", "__quota")
+    )

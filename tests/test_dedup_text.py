@@ -497,3 +497,30 @@ def test_pagerank_fp_hand_graph(spark):
     }
     r3 = {r["node"]: r["pr_fp"] for r in pagerank_fp(e, n_iter=3).collect()}
     assert r3[1] > r3[2] > r3[3]
+
+
+def test_temperature_quota_sample_semantics(spark):
+    """alpha=0.5 quotas: a 100:4 head/tail split must keep the tail
+    fully (quota >= n small source upweights to keep-all) while the
+    head is capped near budget * sqrt-share; selection is
+    partitioning-invariant (md5-first)."""
+    from gdal_vfr_spark.operators import sampling
+
+    rows = [(i, "head") for i in range(100)] + [(1000 + i, "tail") for i in range(4)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    out = sampling.temperature_quota_sample(docs, budget=30, source_col="source")
+    got = {r["source"]: 0 for r in out.collect()}
+    for r in out.collect():
+        got[r["source"]] = got.get(r["source"], 0) + 1
+    # w_head = 10, w_tail = 2, W = 12 -> quota_head = ceil(300/12) = 25,
+    # quota_tail = min(4, ceil(60/12)) = 4
+    assert got == {"head": 25, "tail": 4}
+    # partitioning invariance
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in sampling.temperature_quota_sample(
+            docs.repartition(13), budget=30, source_col="source"
+        ).collect()
+    )
+    assert a == b

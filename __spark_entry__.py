@@ -1501,6 +1501,14 @@ def q_sample_temperature(spark, sf_dir):
     )
 
 
+def q_text_quantiles(spark, sf_dir):
+    """EXACT per-source length quantiles (p50/p90/p99) by rank
+    selection — integer-exact where percentile interpolation is not.
+    One window shuffle on the source key."""
+    docs = _read(spark, sf_dir, "documents")
+    return text_ops.value_quantiles(docs).orderBy("source", "p")
+
+
 def q_text_lang(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
     return (
@@ -2282,6 +2290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_range_join_large": q_geo_range_join_large,
         "geo_knn_lines_large": q_geo_knn_lines_large,
         "sample_temperature": q_sample_temperature,
+        "text_quantiles": q_text_quantiles,
         "dedup_cc": q_dedup_cc,
         "dedup_keep_best": q_dedup_keep_best,
         "dedup_representatives": q_dedup_representatives,
@@ -2819,6 +2828,25 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rn = 1 ORDER BY component
         """,
         "graph_pagerank": _duck_pagerank_sql(3),
+        "text_quantiles": """
+            WITH r AS (
+              SELECT source, doc_id, n_chars,
+                     row_number() OVER (PARTITION BY source
+                       ORDER BY n_chars ASC, doc_id ASC) AS rn,
+                     count(*) OVER (PARTITION BY source) AS n
+              FROM documents
+            )
+            SELECT source, p, value FROM (
+              SELECT source, CAST(0.5 AS DOUBLE) AS p, n_chars AS value FROM r
+              WHERE rn = CAST(floor((n - 1) * CAST(0.5 AS DOUBLE)) AS BIGINT) + 1
+              UNION ALL
+              SELECT source, CAST(0.9 AS DOUBLE), n_chars FROM r
+              WHERE rn = CAST(floor((n - 1) * CAST(0.9 AS DOUBLE)) AS BIGINT) + 1
+              UNION ALL
+              SELECT source, CAST(0.99 AS DOUBLE), n_chars FROM r
+              WHERE rn = CAST(floor((n - 1) * CAST(0.99 AS DOUBLE)) AS BIGINT) + 1
+            ) ORDER BY source, p
+        """,
         "sample_temperature": """
             WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
             wts AS (SELECT lang, n,

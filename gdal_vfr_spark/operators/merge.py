@@ -277,13 +277,18 @@ class ParquetTable:
                 continue
             os.rename(os.path.join(src, fn), os.path.join(self.path, f"b{tag}-{fn}"))
 
-    def append(self, df: DataFrame) -> None:
+    def append(self, df: DataFrame, allow_schema_evolution: bool = False) -> None:
         """SO2 — append mode: unionByName with current snapshot (the
         reference's Mode.append, vfrogr.py:42,:999-1000). Plain
         directory-append would also work; snapshot-union keeps commit
-        semantics uniform."""
+        semantics uniform. allow_schema_evolution=True models Iceberg
+        add-column evolution: columns present on only one side are
+        kept and NULL-filled on the other (unionByName
+        allowMissingColumns); the default rejects schema drift."""
         if self.exists():
-            df = self.read().unionByName(df)
+            df = self.read().unionByName(
+                df, allowMissingColumns=allow_schema_evolution
+            )
         self._commit(df)
 
     def compact(

@@ -346,3 +346,47 @@ def bm25_topk(
         .where(F.col("rank") <= k)
         .select(query_id_col, id_col, "score_fp", F.col("rank").cast("long").alias("rank"))
     )
+
+
+def value_quantiles(
+    df: DataFrame,
+    group_col: str = "source",
+    value_col: str = "n_chars",
+    id_col: str = "doc_id",
+    ps: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """EXACT per-group quantiles by rank selection (corpus length/
+    quality distribution profiling): q(p) = the value at row_number
+    floor((n-1) * p) + 1 in ascending (value, id) order — a pure
+    integer selection, so the cross-engine oracle is exact where
+    percentile_approx/percentile_cont float interpolation is not.
+
+    One window shuffle on the group key (rank + count over the same
+    partition — single exchange); the quantile filter is a map-side
+    OR over the requested ranks. For 100 TB profiling you'd typically
+    pre-aggregate to (group, value, count) first — same shape, smaller
+    window input."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(value_col).asc(), F.col(id_col).asc()
+    )
+    wn = Window.partitionBy(group_col)
+    ranked = df.select(
+        F.col(group_col),
+        F.col(value_col),
+        F.row_number().over(w).alias("__rn"),
+        F.count("*").over(wn).alias("__n"),
+    )
+    out = None
+    for p in ps:
+        sel = ranked.where(
+            F.col("__rn")
+            == F.floor((F.col("__n") - 1) * F.lit(float(p))).cast("long") + 1
+        ).select(
+            group_col,
+            F.lit(float(p)).alias("p"),
+            F.col(value_col).alias("value"),
+        )
+        out = sel if out is None else out.unionByName(sel)
+    return out

@@ -243,3 +243,18 @@ def test_compact_reduces_files_preserves_rows(spark, tmp_path):
     written = t.compact(target_files=2)
     assert written == 2 and nfiles() == 2
     assert sorted(map(tuple, t.read().collect())) == before_rows
+
+
+def test_append_schema_evolution(spark, tmp_path):
+    """allow_schema_evolution models Iceberg add-column: new column
+    kept, old rows NULL-filled; default append rejects drift."""
+    t = M.ParquetTable(spark, str(tmp_path / "ev"))
+    t.write(spark.createDataFrame([(1, "a")], "gml_id long, nazev string"))
+    widened = spark.createDataFrame(
+        [(2, "b", 7)], "gml_id long, nazev string, vymera long"
+    )
+    with pytest.raises(Exception):
+        t.append(widened)
+    t.append(widened, allow_schema_evolution=True)
+    rows = {r["gml_id"]: (r["nazev"], r["vymera"]) for r in t.read().collect()}
+    assert rows == {1: ("a", None), 2: ("b", 7)}

@@ -378,15 +378,27 @@ def value_quantiles(
         F.row_number().over(w).alias("__rn"),
         F.count("*").over(wn).alias("__n"),
     )
-    out = None
-    for p in ps:
-        sel = ranked.where(
-            F.col("__rn")
-            == F.floor((F.col("__n") - 1) * F.lit(float(p))).cast("long") + 1
-        ).select(
-            group_col,
-            F.lit(float(p)).alias("p"),
-            F.col(value_col).alias("value"),
+    # ONE pass: explode the (p, target-rank) pairs and filter — a
+    # unionByName of per-p branches would recompute the window subtree
+    # once per quantile (Spark shares no unpersisted subplans)
+    targets = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(float(p)).alias("p"),
+                    (
+                        F.floor((F.col("__n") - 1) * F.lit(float(p))).cast("long")
+                        + 1
+                    ).alias("t"),
+                )
+                for p in ps
+            ]
         )
-        out = sel if out is None else out.unionByName(sel)
-    return out
+    ).alias("pt")
+    return (
+        ranked.select(group_col, value_col, "__rn", targets)
+        .where(F.col("pt.t") == F.col("__rn"))
+        .select(
+            group_col, F.col("pt.p").alias("p"), F.col(value_col).alias("value")
+        )
+    )

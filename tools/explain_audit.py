@@ -90,6 +90,14 @@ AUDIT = [
     # points drop map-side on the broadcast presence set and shuffle
     # once (cogroup pair) + contract orderBy
     ("geo_range_join_large", dict(max_python=4, want_broadcast=True, max_shuffles=4)),
+    ("geo_knn_lines_large", dict(max_python=4, want_broadcast=True, max_shuffles=5)),
+    # temperature sampling: counts agg -> broadcast quotas -> rank
+    # window -> contract orderBy (the quota branch re-reads the tiny
+    # counts agg under its broadcast)
+    ("sample_temperature", dict(max_python=0, want_broadcast=True, max_shuffles=5)),
+    # quantiles: ONE window pass (rank + count share the partition),
+    # exploded (p, target) filter, contract orderBy
+    ("text_quantiles", dict(max_python=0, max_shuffles=3)),
 ]
 
 

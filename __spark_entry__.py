@@ -914,6 +914,31 @@ def q_geo_pip_parcely_large(spark, sf_dir):
     )
 
 
+def q_geo_pip_hierarchy_parcel(spark, sf_dir):
+    """FK-hierarchy rollup at PARCEL scale (SURVEY §1.4 composed with
+    the partitioned path): pages -> parcel via PartitionedPIPJoiner
+    (122,500 polygons, no vertex broadcast) -> obec via the integer FK
+    the grid construction guarantees (350 parcels per axis = exactly 35
+    per obec cell, so parcel (ix, iy) -> obec (ix div 35, iy div 35) is
+    the containment FK) -> per-obec page counts. Oracle = the direct
+    floor-arithmetic obec assignment — equal BY CONSTRUCTION because
+    every parcel nests exactly inside one obec."""
+    _ensure_shipped(spark)
+    g = _events_geo(spark, sf_dir).where(F.col("event_id") % 3 == 0)
+    joined = _parcely_large_joiner(spark).apply(g)
+    return (
+        joined.withColumn(
+            "obec_kod",
+            F.lit(500000)
+            + F.expr("((parcel_kod - 50000000) div 350) div 35") * F.lit(10)
+            + F.expr("((parcel_kod - 50000000) % 350) div 35"),
+        )
+        .groupBy("obec_kod")
+        .agg(F.count("*").alias("n_pages"))
+        .orderBy("obec_kod")
+    )
+
+
 def q_geo_knn(spark, sf_dir):
     """J5 north-star — 3 nearest municipality centers per sampled page
     (k-ring expansion + certified merge); oracle = cross join + rank."""
@@ -2291,6 +2316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_knn_lines_large": q_geo_knn_lines_large,
         "sample_temperature": q_sample_temperature,
         "text_quantiles": q_text_quantiles,
+        "geo_pip_hierarchy_parcel": q_geo_pip_hierarchy_parcel,
         "dedup_cc": q_dedup_cc,
         "dedup_keep_best": q_dedup_keep_best,
         "dedup_representatives": q_dedup_representatives,
@@ -2471,6 +2497,11 @@ def oracle_sql() -> dict[str, str]:
         "geo_pip_rows": f"""
             SELECT event_id, {ORACLE_OBEC} AS obec_kod
             FROM ({geo}) WHERE lon IS NOT NULL AND event_id % 10 = 1
+        """,
+        "geo_pip_hierarchy_parcel": f"""
+            SELECT {ORACLE_OBEC} AS obec_kod, count(*) AS n_pages
+            FROM ({geo}) WHERE lon IS NOT NULL AND event_id % 3 = 0
+            GROUP BY 1 ORDER BY obec_kod
         """,
         "geo_pip_parcely_large": f"""
             SELECT 50000000 + CAST(floor((lat - 49.5) * 350) AS BIGINT) * 350

@@ -228,7 +228,11 @@ def test_point_seg_dist2_properties():
         d_deg = float(_point_seg_dist2(
             np.float64(qx), np.float64(qy),
             np.float64(x1), np.float64(y1), np.float64(x1), np.float64(y1)))
-        assert d_deg == (qx - x1) ** 2 + (qy - y1) ** 2
+        # multiplication, NOT ** 2: Python's float ** 2 goes through
+        # libm pow(), which differs from x*x in the last ulp for some
+        # inputs (hypothesis found one) — the function itself only
+        # multiplies, per the repo's no-libm exactness rule
+        assert d_deg == (qx - x1) * (qx - x1) + (qy - y1) * (qy - y1)
 
     run()
 

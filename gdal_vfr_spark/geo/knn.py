@@ -833,6 +833,11 @@ class PartitionedLineRangeJoiner:
         import pandas as _pd
         from pyspark.sql import types as T
 
+        # re-arm the prepared-index cache if clearCache dropped the
+        # persist mark (same guard as PartitionedPIPJoiner.apply)
+        from gdal_vfr_spark.geo.pip import _ensure_persisted
+
+        _ensure_persisted(self._groups_sdf)
         maxd2 = self.max_dist * self.max_dist
         id_field = points_df.schema[id_col]
         out_schema = T.StructType(

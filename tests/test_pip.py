@@ -179,3 +179,24 @@ def test_partitioned_pip_parcely_large_truth(spark):
             )[0]
         )
         assert r["parcel_kod"] == want, r
+
+
+def test_partitioned_pip_survives_clearcache(spark):
+    """spark.catalog.clearCache() drops persist marks; apply() must
+    re-arm the prepared-index caches so later actions don't silently
+    rebuild the cover/group tables per action."""
+    from pyspark.storagelevel import StorageLevel
+
+    from gdal_vfr_spark.geo.pip import PartitionedPIPJoiner
+
+    pages = datagen.gen_webpages(spark, n=500, seed=23)
+    obce = datagen.gen_obce(spark, seed=23)
+    pj = PartitionedPIPJoiner(
+        obce, poly_key="kod", geom_col="originalni_hranice", out_key="obec_kod"
+    )
+    want = pj.apply(pages).count()
+    spark.catalog.clearCache()
+    assert pj._cover_sdf.storageLevel == StorageLevel.NONE  # mark dropped
+    out = pj.apply(pages)
+    assert pj._cover_sdf.storageLevel != StorageLevel.NONE  # re-armed
+    assert out.count() == want

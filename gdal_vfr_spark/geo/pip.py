@@ -244,14 +244,15 @@ class PackedPolygonIndex:
         9.96M pages/s at 8x8 / 72% interior, 12.14M at 16x16 / 85%,
         11.40M at 32x32 / 92% where the broadcast probe cost starts to
         win — 16x16 is the knee). The ROW budget is what makes the
-        policy scale-safe: cover size is n_polys x cells_per_poly, so a
-        fixed per-poly density makes the broadcast grow linearly with
-        dimension cardinality (10^6 parcels x 256 cells = 2.6x10^8 rows
-        — not broadcastable, and minutes of driver-side build). Budgeted
-        at 200k rows, a 100-polygon layer keeps the full 16x16, a
-        1,600-parcel layer gets ~11x11, and a 10^6-polygon layer
-        degrades to the 4x4 floor (still bbox-pruned + certified, just
-        more refine work) instead of blowing up the driver."""
+        policy scale-safe and it is BINDING (pick_cover_res): cover
+        size is n_polys x cells_per_poly, so a fixed per-poly density
+        makes the broadcast grow linearly with dimension cardinality
+        (10^6 parcels x 256 cells = 2.6x10^8 rows — not broadcastable,
+        and minutes of driver-side build). Budgeted at 200k rows, a
+        100-polygon layer keeps the full 16x16, a 1,600-parcel layer
+        gets ~11x11, and huge layers coarsen until the estimate
+        bottoms out near ~4 rows/poly — past ~budget/4 polygons use
+        the partitioned joiner (broadcast_cover=False at the extreme)."""
         if len(self.keys) == 0:
             return 0
         w = np.median(self.bbox[:, 2] - self.bbox[:, 0])
@@ -282,14 +283,23 @@ def pick_cover_res(
     span = max(float(median_span), 1e-12)
     per_side = max(target_cells_per_poly**0.5, 1.0)
     res = int(np.clip(np.ceil(np.log2(360.0 / span * per_side)), 0, cells.MAX_RES))
-    floor_side = max(min_cells_per_poly**0.5, 1.0)
-    res_floor = int(
-        np.clip(np.ceil(np.log2(360.0 / span * floor_side)), 0, cells.MAX_RES)
-    )
-    while res > res_floor:
+    # The BUDGET is the binding constraint — min_cells_per_poly only
+    # shapes the density target, it must NOT stop the coarsening: a
+    # floor that overrides the budget re-creates the unbounded
+    # broadcast the budget exists to prevent (measured: 10^6 polys
+    # with a floor-stopped res produced a 9.6M-row / ~250MB cover).
+    # Coarser covers only cost refine work, never correctness. Cover
+    # rows can never go below ~n_polys (every polygon emits >= 1 row),
+    # so the loop's target bottoms out at ~4*n_polys — past ~budget/4
+    # polygons the broadcast is inherently over budget and the caller
+    # should switch to the shuffled candidate join
+    # (PartitionedPIPJoiner(broadcast_cover=False)).
+    del min_cells_per_poly  # density floor superseded by the budget rule
+    target = max(cover_budget_rows, 4.0 * max(n_polys, 1))
+    while res > 0:
         side = 360.0 / (1 << res)
         est = n_polys * (np.ceil(span / side) + 1.0) ** 2
-        if est <= cover_budget_rows:
+        if est <= target:
             break
         res -= 1
     return res
@@ -498,6 +508,7 @@ class PartitionedPIPJoiner:
         min_cells_per_poly: float = 0.25,
         group_bits: int = 4,
         salt: int = 1,
+        broadcast_cover: bool = True,
     ):
         self.out_key = out_key or poly_key
         polys = polys_df.select(
@@ -525,6 +536,13 @@ class PartitionedPIPJoiner:
         self.res = res
         self.gres = max(res - group_bits, 0)
         self.salt = max(int(salt), 1)
+        # cover rows are bounded below by n_polys (>= 1 row each), so
+        # past ~budget/4 polygons the broadcast is inherently over
+        # budget: broadcast_cover=False switches the candidate join to
+        # a shuffle join on the cell key (pages repartition once; the
+        # cover stays a distributed table) — slower per page, but the
+        # only shape that holds at 10^7+ polygons
+        self.broadcast_cover = broadcast_cover
         rres, gres, nsalt = self.res, self.gres, self.salt
 
         def _cover(batches):
@@ -614,8 +632,9 @@ class PartitionedPIPJoiner:
             base = points_df.withColumn(rid, F.monotonically_increasing_id())
         pts = cells.with_cell(base, res, lon_col, lat_col, out_col="__cell")
         cover = self._cover_sdf
+        cover_side = F.broadcast(cover) if self.broadcast_cover else cover
         cand = pts.join(
-            F.broadcast(cover), on=pts["__cell"] == cover["cell"], how="inner"
+            cover_side, on=pts["__cell"] == cover["cell"], how="inner"
         ).drop("cell")
         inner_hits = cand.where(F.col("interior")).drop("__cell", "interior")
         # cell -> gres parent, pure bit ops in codegen: drop the 5 res

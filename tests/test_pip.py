@@ -200,3 +200,27 @@ def test_partitioned_pip_survives_clearcache(spark):
     out = pj.apply(pages)
     assert pj._cover_sdf.storageLevel != StorageLevel.NONE  # re-armed
     assert out.count() == want
+
+
+def test_partitioned_pip_shuffle_cover_parity(spark):
+    """broadcast_cover=False (the 10^7+-polygon shape: cell-keyed
+    shuffle candidate join) must return exactly the broadcast-cover
+    rows."""
+    from gdal_vfr_spark.geo.pip import PartitionedPIPJoiner
+
+    pages = datagen.gen_webpages(spark, n=1200, seed=29)
+    obce = datagen.gen_obce(spark, seed=29)
+    want = sorted(
+        (r["url"], r["obec_kod"])
+        for r in PartitionedPIPJoiner(
+            obce, poly_key="kod", geom_col="originalni_hranice", out_key="obec_kod"
+        ).apply(pages).select("url", "obec_kod").collect()
+    )
+    got = sorted(
+        (r["url"], r["obec_kod"])
+        for r in PartitionedPIPJoiner(
+            obce, poly_key="kod", geom_col="originalni_hranice",
+            out_key="obec_kod", broadcast_cover=False,
+        ).apply(pages).select("url", "obec_kod").collect()
+    )
+    assert got == want

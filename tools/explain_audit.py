@@ -98,6 +98,8 @@ AUDIT = [
     # quantiles: ONE window pass (rank + count share the partition),
     # exploded (p, target) filter, contract orderBy
     ("text_quantiles", dict(max_python=0, max_shuffles=3)),
+    # parcel hierarchy = parcely_large plan + an integer FK projection
+    ("geo_pip_hierarchy_parcel", dict(max_python=5, want_broadcast=True, max_shuffles=5)),
 ]
 
 

@@ -939,6 +939,26 @@ def q_geo_pip_hierarchy_parcel(spark, sf_dir):
     )
 
 
+def q_a2_wkb_validity(spark, sf_dir):
+    """A2-adjacent structural geometry validity (the north-star's
+    "geometry-validity checks"): obce generalized boundaries with a
+    deterministic corruption pattern (kod % 7 == 3 -> truncated WKB
+    header) tallied as valid/invalid/null via the vectorized validity
+    UDF. Oracle = pure arithmetic over the kod range (the corruption
+    and the generator's null pattern are both functions of kod)."""
+    _ensure_shipped(spark)
+    from gdal_vfr_spark.operators import counts as counts_ops
+
+    obce = datagen.gen_obce(spark)
+    corrupted = obce.withColumn(
+        "generalizovane_hranice",
+        F.when(
+            F.col("kod") % 7 == 3, F.lit(b"\x01\x03\x00\x00\x00")
+        ).otherwise(F.col("generalizovane_hranice")),
+    )
+    return counts_ops.geometry_validity_stats(corrupted, "generalizovane_hranice")
+
+
 def q_geo_knn(spark, sf_dir):
     """J5 north-star — 3 nearest municipality centers per sampled page
     (k-ring expansion + certified merge); oracle = cross join + rank."""
@@ -2317,6 +2337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_temperature": q_sample_temperature,
         "text_quantiles": q_text_quantiles,
         "geo_pip_hierarchy_parcel": q_geo_pip_hierarchy_parcel,
+        "a2_wkb_validity": q_a2_wkb_validity,
         "dedup_cc": q_dedup_cc,
         "dedup_keep_best": q_dedup_keep_best,
         "dedup_representatives": q_dedup_representatives,
@@ -2497,6 +2518,21 @@ def oracle_sql() -> dict[str, str]:
         "geo_pip_rows": f"""
             SELECT event_id, {ORACLE_OBEC} AS obec_kod
             FROM ({geo}) WHERE lon IS NOT NULL AND event_id % 10 = 1
+        """,
+        "a2_wkb_validity": """
+            WITH k AS (
+              SELECT 500000 + i AS kod FROM (SELECT unnest(range(0, 100)) AS i)
+            ), c AS (
+              SELECT kod,
+                     CASE WHEN kod % 7 = 3 THEN 'invalid'
+                          WHEN (kod * 7919) % 97 < 29 THEN 'null'
+                          ELSE 'valid' END AS s
+              FROM k
+            )
+            SELECT CAST(sum(CASE WHEN s = 'valid' THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+                   CAST(sum(CASE WHEN s = 'invalid' THEN 1 ELSE 0 END) AS BIGINT) AS n_invalid,
+                   CAST(sum(CASE WHEN s = 'null' THEN 1 ELSE 0 END) AS BIGINT) AS n_null
+            FROM c
         """,
         "geo_pip_hierarchy_parcel": f"""
             SELECT {ORACLE_OBEC} AS obec_kod, count(*) AS n_pages

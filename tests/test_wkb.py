@@ -36,3 +36,28 @@ def test_multipoint_and_lines():
     lines = wkb.decode_lines(ml)
     assert len(lines) == 2 and np.allclose(lines[1], [[2, 2], [3, 3]])
     assert wkb.bbox(ml) == (0.0, 0.0, 3.0, 3.0)
+
+
+def test_polygon_validity_udf_cases(spark):
+    """Structural validity: valid ring -> True; truncated buffer,
+    unclosed ring, <4-point ring, NaN coords -> False; NULL -> NULL."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from gdal_vfr_spark.geo import wkb as W
+    from gdal_vfr_spark.operators.counts import polygon_validity_expr
+
+    good = W.polygon([np.asarray([[0, 0], [1, 0], [1, 1], [0, 0]], dtype=float)])
+    unclosed = W.polygon([np.asarray([[0, 0], [1, 0], [1, 1], [0.5, 0.5]], dtype=float)])
+    tiny = W.polygon([np.asarray([[0, 0], [1, 0], [0, 0]], dtype=float)])
+    nan = W.polygon(
+        [np.asarray([[0, 0], [np.nan, 0], [1, 1], [0, 0]], dtype=float)]
+    )
+    rows = [(1, good), (2, b"\x01\x03\x00\x00\x00"), (3, unclosed), (4, tiny),
+            (5, nan), (6, None)]
+    df = spark.createDataFrame(rows, "id long, g binary")
+    got = {
+        r["id"]: r["v"]
+        for r in df.select("id", polygon_validity_expr()(F.col("g")).alias("v")).collect()
+    }
+    assert got == {1: True, 2: False, 3: False, 4: False, 5: False, 6: None}

@@ -939,6 +939,40 @@ def q_geo_pip_hierarchy_parcel(spark, sf_dir):
     )
 
 
+_TILE_STORE: dict = {}
+
+
+def q_geo_tile_bbox_read(spark, sf_dir):
+    """M5 read path — partition-pruned bbox scan over the tile-
+    partitioned layout (write_tiled once per session; read_tiles_bbox
+    turns the bbox's prefix-res cover cells into a static IN-list on
+    the partition column, so directories outside the bbox are never
+    read — PartitionFilters asserted in tests/test_tiles.py).
+    prefix_res=10 so the 1-degree fixture extent actually spans
+    multiple partitions (at the production default 6, 4096 global
+    partitions, the whole extent is one directory). Oracle =
+    arithmetic bbox filter + direct prefix-res cell assignment (the
+    prefix of a res-15 tile IS the res-10 cell, by floor nesting)."""
+    _ensure_shipped(spark)
+    import tempfile
+
+    from gdal_vfr_spark.geo import tiles
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _TILE_STORE.get(key)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="gvs_tiles_") + "/pages"
+        g = _events_geo(spark, sf_dir).where(F.col("lon").isNotNull())
+        tiles.write_tiled(g, path, prefix_res=10)
+        _TILE_STORE[key] = path
+    out = tiles.read_tiles_bbox(spark, path, 14.2, 49.7, 14.6, 50.1, prefix_res=10)
+    return (
+        out.groupBy(F.col("tile_prefix").cast("long").alias("tile_prefix"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("tile_prefix")
+    )
+
+
 def q_a2_wkb_validity(spark, sf_dir):
     """A2-adjacent structural geometry validity (the north-star's
     "geometry-validity checks"): obce generalized boundaries with a
@@ -2338,6 +2372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quantiles": q_text_quantiles,
         "geo_pip_hierarchy_parcel": q_geo_pip_hierarchy_parcel,
         "a2_wkb_validity": q_a2_wkb_validity,
+        "geo_tile_bbox_read": q_geo_tile_bbox_read,
         "dedup_cc": q_dedup_cc,
         "dedup_keep_best": q_dedup_keep_best,
         "dedup_representatives": q_dedup_representatives,
@@ -2518,6 +2553,13 @@ def oracle_sql() -> dict[str, str]:
         "geo_pip_rows": f"""
             SELECT event_id, {ORACLE_OBEC} AS obec_kod
             FROM ({geo}) WHERE lon IS NOT NULL AND event_id % 10 = 1
+        """,
+        "geo_tile_bbox_read": f"""
+            SELECT {_duck_cell('lon', 'lat', 10)} AS tile_prefix, count(*) AS n
+            FROM ({geo})
+            WHERE lon IS NOT NULL
+              AND lon >= 14.2 AND lon < 14.6 AND lat >= 49.7 AND lat < 50.1
+            GROUP BY 1 ORDER BY tile_prefix
         """,
         "a2_wkb_validity": """
             WITH k AS (

@@ -80,6 +80,39 @@ def write_tiled(
     )
 
 
+def read_tiles_bbox(
+    spark,
+    path: str,
+    lon_min: float,
+    lat_min: float,
+    lon_max: float,
+    lat_max: float,
+    prefix_res: int = 6,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Partition-pruned bbox scan over a write_tiled layout — the read
+    half of the Iceberg-partition-transform story: the bbox's cover
+    cells at prefix_res become a STATIC IN-list on the partition column
+    (PartitionFilters on the scan — directories outside the bbox are
+    never listed or read; asserted in tests/test_tiles.py), and the
+    residual row-level bbox predicate pushes to parquet. Half-open
+    semantics: [min, max) on both axes. At 100 TB this is the
+    difference between scanning the planet and scanning the city."""
+    prefixes = [
+        int(c)
+        for c in cells.cover_bbox(lon_min, lat_min, lon_max, lat_max, prefix_res)
+    ]
+    df = spark.read.parquet(path)
+    return df.where(
+        F.col("tile_prefix").isin(prefixes)
+        & (F.col(lon_col) >= F.lit(lon_min))
+        & (F.col(lon_col) < F.lit(lon_max))
+        & (F.col(lat_col) >= F.lit(lat_min))
+        & (F.col(lat_col) < F.lit(lat_max))
+    )
+
+
 def tile_join(
     vector_df: DataFrame,
     raster_df: DataFrame,

@@ -51,3 +51,35 @@ def test_tile_join_matches_truth(spark):
     assert joined.count() == pages.count()
     bad = joined.where(F.col("payload") != F.col("truth_tile_key") % 97).count()
     assert bad == 0
+
+
+def test_read_tiles_bbox_prunes_partitions(spark, tmp_path):
+    """read_tiles_bbox must (a) return exactly the brute bbox filter's
+    rows and (b) prune at the PARTITION level (PartitionFilters on the
+    scan; fewer directories read than exist)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from gdal_vfr_spark.geo import tiles
+
+    pages = datagen.gen_webpages(spark, n=4000, seed=37).where("lon is not null")
+    path = str(tmp_path / "tiled")
+    tiles.write_tiled(pages, path, prefix_res=10)
+    n_dirs = len([d for d in os.listdir(path) if d.startswith("tile_prefix=")])
+    bbox = (14.2, 49.7, 14.6, 50.1)
+    out = tiles.read_tiles_bbox(spark, path, *bbox, prefix_res=10)
+    want = pages.where(
+        (F.col("lon") >= bbox[0]) & (F.col("lon") < bbox[2])
+        & (F.col("lat") >= bbox[1]) & (F.col("lat") < bbox[3])
+    )
+    assert sorted(r["url"] for r in out.collect()) == sorted(
+        r["url"] for r in want.collect()
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "tile_prefix" in plan
+    # the IN-list covers fewer prefixes than the table has partitions
+    from gdal_vfr_spark.geo import cells
+
+    n_probe = len(cells.cover_bbox(*bbox, 10))
+    assert 0 < n_probe < n_dirs

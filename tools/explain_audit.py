@@ -100,6 +100,11 @@ AUDIT = [
     ("text_quantiles", dict(max_python=0, max_shuffles=3)),
     # parcel hierarchy = parcely_large plan + an integer FK projection
     ("geo_pip_hierarchy_parcel", dict(max_python=5, want_broadcast=True, max_shuffles=5)),
+    # validity tally: one Arrow pass + one agg (the WKB decode IS the work)
+    ("a2_wkb_validity", dict(max_python=1, max_shuffles=1)),
+    # tile bbox read: partition-pruned scan -> one agg + contract orderBy;
+    # PartitionFilters visibility is asserted in tests/test_tiles.py
+    ("geo_tile_bbox_read", dict(max_python=0, max_shuffles=2)),
 ]
 
 

@@ -942,6 +942,19 @@ def q_geo_pip_hierarchy_parcel(spark, sf_dir):
 _TILE_STORE: dict = {}
 
 
+def _tile_store_dir(prefix: str = "gvs_tiles_") -> str:
+    """mkdtemp + atexit cleanup: every bench/correctness session would
+    otherwise leak a full tiled copy of the geo fixture in /tmp
+    (round-3 advice)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, True)
+    return d
+
+
 def q_geo_tile_bbox_read(spark, sf_dir):
     """M5 read path — partition-pruned bbox scan over the tile-
     partitioned layout (write_tiled once per session; read_tiles_bbox
@@ -954,14 +967,13 @@ def q_geo_tile_bbox_read(spark, sf_dir):
     arithmetic bbox filter + direct prefix-res cell assignment (the
     prefix of a res-15 tile IS the res-10 cell, by floor nesting)."""
     _ensure_shipped(spark)
-    import tempfile
 
     from gdal_vfr_spark.geo import tiles
 
     key = (spark.sparkContext.applicationId, sf_dir)
     path = _TILE_STORE.get(key)
     if path is None:
-        path = tempfile.mkdtemp(prefix="gvs_tiles_") + "/pages"
+        path = _tile_store_dir() + "/pages"
         g = _events_geo(spark, sf_dir).where(F.col("lon").isNotNull())
         tiles.write_tiled(g, path, prefix_res=10)
         _TILE_STORE[key] = path
@@ -1219,7 +1231,6 @@ def q_stream_change_merge(spark, sf_dir):
     _ensure_shipped(spark)
     import glob
     import shutil
-    import tempfile
 
     from gdal_vfr_spark.streaming.incremental import change_stream_merge
 
@@ -1230,7 +1241,7 @@ def q_stream_change_merge(spark, sf_dir):
     c2 = o.where(F.col("o_orderkey") % 5 == 0).select(
         F.col("o_orderkey").alias("gml_id"), F.lit("X2").alias("status")
     )
-    tmp = tempfile.mkdtemp(prefix="gvs_stream_")
+    tmp = _tile_store_dir(prefix="gvs_stream_")
     chg = os.path.join(tmp, "changes")
     os.makedirs(chg)
     for i, batch in enumerate((c1, c2), start=1):
@@ -1266,13 +1277,12 @@ def q_stream_dedup(spark, sf_dir):
     _ensure_shipped(spark)
     import glob
     import shutil
-    import tempfile
 
     from gdal_vfr_spark.streaming.incremental import streaming_exact_dedup
 
     docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
     dups = docs.select((F.col("doc_id") + 1000).alias("doc_id"), "text")
-    tmp = tempfile.mkdtemp(prefix="gvs_sdedup_")
+    tmp = _tile_store_dir(prefix="gvs_sdedup_")
     src = os.path.join(tmp, "docs")
     os.makedirs(src)
     for i, batch in enumerate((docs, dups), start=1):
@@ -1931,6 +1941,8 @@ def q_ann_ivf_indexed(spark, sf_dir):
     layout, probe = statically partition-pruned scan of nprobe cells
     (PartitionFilters in the plan — asserted in pytest). Same result
     set as ann_ivf_topk, so it shares that oracle."""
+    import atexit
+    import shutil
     import tempfile
 
     emb = _read(spark, sf_dir, "embeddings")
@@ -1940,6 +1952,8 @@ def q_ann_ivf_indexed(spark, sf_dir):
     path = os.path.join(
         tempfile.gettempdir(), f"ivf_idx_{spark.sparkContext.applicationId}"
     )
+    if not os.path.exists(path):
+        atexit.register(shutil.rmtree, path, True)
     cents = similarity.write_ivf_index(emb, path)
     return (
         similarity.ivf_topk_indexed(spark, path, cents, q, k=3, nprobe=2)
@@ -2165,7 +2179,6 @@ def q_stream_sessionize(spark, sf_dir):
     _ensure_shipped(spark)
     import glob
     import shutil
-    import tempfile
 
     from gdal_vfr_spark.streaming.incremental import streaming_sessionize
 
@@ -2173,7 +2186,7 @@ def q_stream_sessionize(spark, sf_dir):
         "user_id", "event_id", F.col("ts").cast("timestamp").alias("ts")
     )
     cut = e.agg(F.expr("percentile_approx(ts, 0.5)").alias("c")).first()["c"]
-    tmp = tempfile.mkdtemp(prefix="gvs_ssess_")
+    tmp = _tile_store_dir(prefix="gvs_ssess_")
     src = os.path.join(tmp, "events")
     os.makedirs(src)
     batches = (e.where(F.col("ts") <= F.lit(cut)), e.where(F.col("ts") > F.lit(cut)))

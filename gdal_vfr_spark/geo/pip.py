@@ -233,7 +233,6 @@ class PackedPolygonIndex:
         self,
         target_cells_per_poly: float = 256.0,
         cover_budget_rows: float = 200_000.0,
-        min_cells_per_poly: float = 16.0,
     ) -> int:
         """Pick a cover resolution: median polygon bbox ≈ target cells,
         CAPPED so the whole cover table stays within a fixed row budget.
@@ -262,7 +261,6 @@ class PackedPolygonIndex:
             float(max(w, h)),
             target_cells_per_poly,
             cover_budget_rows,
-            min_cells_per_poly,
         )
 
 
@@ -271,30 +269,26 @@ def pick_cover_res(
     median_span: float,
     target_cells_per_poly: float = 256.0,
     cover_budget_rows: float = 200_000.0,
-    min_cells_per_poly: float = 16.0,
 ) -> int:
     """Cover-resolution policy shared by the broadcast and partitioned
     joiners (see PackedPolygonIndex.auto_res for the rationale): median
     polygon bbox ≈ target cells, capped so estimated cover rows stay
-    within the budget, floored at min_cells_per_poly per polygon. The
-    budget is enforced on ESTIMATED rows at the quantized res (the ceil
-    rounds the per-poly target up to the next power-of-4 cell count, so
-    budgeting the pre-rounding target undershoots)."""
+    within the budget. The budget is enforced on ESTIMATED rows at the
+    quantized res (the ceil rounds the per-poly target up to the next
+    power-of-4 cell count, so budgeting the pre-rounding target
+    undershoots). There is deliberately NO per-poly density floor: a
+    floor that overrides the budget re-creates the unbounded broadcast
+    the budget exists to prevent (measured: 10^6 polys with a
+    floor-stopped res produced a 9.6M-row / ~250MB cover). Coarser
+    covers only cost refine work, never correctness. Cover rows can
+    never go below ~n_polys (every polygon emits >= 1 row), so the
+    loop's target bottoms out at ~4*n_polys — past ~budget/4 polygons
+    the broadcast is inherently over budget and the caller should
+    switch to the shuffled candidate join
+    (PartitionedPIPJoiner(broadcast_cover=False))."""
     span = max(float(median_span), 1e-12)
     per_side = max(target_cells_per_poly**0.5, 1.0)
     res = int(np.clip(np.ceil(np.log2(360.0 / span * per_side)), 0, cells.MAX_RES))
-    # The BUDGET is the binding constraint — min_cells_per_poly only
-    # shapes the density target, it must NOT stop the coarsening: a
-    # floor that overrides the budget re-creates the unbounded
-    # broadcast the budget exists to prevent (measured: 10^6 polys
-    # with a floor-stopped res produced a 9.6M-row / ~250MB cover).
-    # Coarser covers only cost refine work, never correctness. Cover
-    # rows can never go below ~n_polys (every polygon emits >= 1 row),
-    # so the loop's target bottoms out at ~4*n_polys — past ~budget/4
-    # polygons the broadcast is inherently over budget and the caller
-    # should switch to the shuffled candidate join
-    # (PartitionedPIPJoiner(broadcast_cover=False)).
-    del min_cells_per_poly  # density floor superseded by the budget rule
     target = max(cover_budget_rows, 4.0 * max(n_polys, 1))
     while res > 0:
         side = 360.0 / (1 << res)
@@ -505,7 +499,6 @@ class PartitionedPIPJoiner:
         res: int | None = None,
         out_key: str | None = None,
         cover_budget_rows: float = 250_000.0,
-        min_cells_per_poly: float = 0.25,
         group_bits: int = 4,
         salt: int = 1,
         broadcast_cover: bool = True,
@@ -518,21 +511,12 @@ class PartitionedPIPJoiner:
         self._polys = polys
         if res is None:
             n, med = _span_stats(polys, "__geom")
-            # allow coarser-than-polygon cells (min_cells < 1): measured
-            # on the 122,500-parcel fixture, per-action cost is dominated
-            # by the cover BROADCAST REBUILD, so a 2x-coarser-than-poly
-            # cover (res 16 vs 17: 380k vs 770k rows) runs ~2.4x faster
-            # while candidate fan-out stays bounded (~(cell/poly + 1)^2
-            # ≈ 8.5/point at the 0.25 floor — the floor exists because
-            # coarser still (res 15, 23 candidates/point) trades per-page
-            # refine volume you cannot afford at 10^12 pages for a
-            # broadcast saving you no longer need)
-            res = pick_cover_res(
-                n,
-                med,
-                cover_budget_rows=cover_budget_rows,
-                min_cells_per_poly=min_cells_per_poly,
-            )
+            # cover res is budget-driven (pick_cover_res): coarser
+            # covers cost refine fan-out (~(cell/poly + 1)^2 candidates
+            # per point), finer ones cost broadcast-rebuild time, and on
+            # the 122,500-parcel fixture the rebuild dominates (res 16
+            # vs 17: 380k vs 770k rows, ~2.4x faster per action)
+            res = pick_cover_res(n, med, cover_budget_rows=cover_budget_rows)
         self.res = res
         self.gres = max(res - group_bits, 0)
         self.salt = max(int(salt), 1)

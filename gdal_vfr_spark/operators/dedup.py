@@ -428,6 +428,8 @@ def connected_components(
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )
+    changed = -1  # never-ran marker so the non-convergence raise below
+    # stays a RuntimeError even when max_iter <= 0
     for it in range(max_iter):
         nb_min = (
             edges.join(

@@ -94,8 +94,10 @@ def resolve_options(
     built-in defaults < config-file `KEY=value` lines < environment
     variables (the reference checks exactly LOG_FILE/DATA_DIR/LOG_DIR)
     < explicit overrides (the CLI layer). `#` lines are comments; a
-    non-comment line without exactly one `=` raises (the reference
-    constructs-but-forgets its VfrError there — we surface the error).
+    non-comment line splits on its FIRST `=` (the value may itself
+    contain `=`, and `KEY=` yields an empty value); a line with no `=`
+    at all or an empty key raises (the reference constructs-but-forgets
+    its VfrError there — we surface the error).
     Blank lines are skipped. No directory side effects: the driver, not
     the resolver, owns filesystem setup (vfrogr.py:214-220's makedirs
     belongs to the sink)."""

@@ -115,6 +115,12 @@ def streaming_exact_dedup(
     # the state-store partition count is frozen from shuffle.partitions
     # at stream START (a default 200 means 200 state stores per batch —
     # pure overhead at test scale; size to the cluster in production)
+    # NOTE: this mutates the SESSION-global shuffle.partitions for the
+    # duration of the stream (restored in finally) — these availableNow
+    # helpers assume exclusive use of the session while they run; a
+    # concurrent query in the same session would silently pick up the
+    # changed value (round-3 advice). Spark offers no per-query knob
+    # for the state-store partition count.
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "16")
     try:
@@ -231,6 +237,12 @@ def streaming_sessionize(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+    # NOTE: this mutates the SESSION-global shuffle.partitions for the
+    # duration of the stream (restored in finally) — these availableNow
+    # helpers assume exclusive use of the session while they run; a
+    # concurrent query in the same session would silently pick up the
+    # changed value (round-3 advice). Spark offers no per-query knob
+    # for the state-store partition count.
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "16")
     try:

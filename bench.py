@@ -66,6 +66,11 @@ HEADLINE = [
     "w_sessionize",
     "graph_pagerank",
     "geo_range_join_large",
+    # round-4 additions: partitioned point-kNN + real multimodal decode
+    # (floors in BASELINE.md; dedup_decontaminate's floor RESET this
+    # round — word shingles replaced char shingles)
+    "geo_knn_points_large",
+    "multimodal_decode",
 ]
 
 # 240M pages (vs the r1/r2 40M): interior-cell certification made the
@@ -113,8 +118,18 @@ def spatial_pipeline(spark, path: str, joiner=None):
     ).agg(F.count("*").alias("n_pages"))
 
 
-def run_spatial_worker(cpus: int, path: str, runs: int = 1) -> None:
-    """Subprocess entry: run the spatial job at local[cpus], print JSON."""
+def run_spatial_worker(cpus: int, path: str) -> None:
+    """Subprocess entry: run the spatial job at local[cpus], print JSON.
+
+    Inside the subprocess the min is CONFIRMED, not taken on faith:
+    after the warmup, measured runs repeat until the second-lowest time
+    is within 20% of the lowest (up to `cap` runs). A single host-load
+    spike on this shared box can inflate one 15-second window by 25%+;
+    requiring two independent near-agreeing samples means a spike must
+    span most of the subprocess's life to contaminate its reported
+    floor (round-3 fix: BENCH_r03 recorded efficiency 0.715 because
+    every hi-level subprocess ran exactly one measured run and all of
+    them caught the same load window)."""
     from gdal_vfr_spark import get_spark
 
     spark = get_spark(
@@ -125,22 +140,51 @@ def run_spatial_worker(cpus: int, path: str, runs: int = 1) -> None:
     )
     n_geo = spark.read.parquet(path).where("lon is not null").count()
     joiner = make_joiner(spark)
-    # full warmup run (JIT, codegen, python worker pool), then `runs`
-    # measured runs; the interleaved 3-subprocess-per-level protocol in
-    # bench_spatial takes the min across subprocesses, so one measured
-    # run here keeps 3 samples per level at half the wall time (the
-    # 240M-page input makes per-run cost material)
-    _materialize(spatial_pipeline(spark, path, joiner))
-    times = []
-    for _ in range(runs):
+    _materialize(spatial_pipeline(spark, path, joiner))  # warmup: JIT, codegen, worker pool
+    # cheaper levels afford more confirmation attempts: a hi-level run
+    # is ~4x shorter than a lo-level run on the same input
+    cap = 3 if cpus <= 4 else 5
+    times: list[float] = []
+    for _ in range(cap):
         t0 = time.time()
         _materialize(spatial_pipeline(spark, path, joiner))
         times.append(time.time() - t0)
+        if len(times) >= 2:
+            lo1, lo2 = sorted(times)[:2]
+            if lo2 <= lo1 * 1.2:
+                break
     dt = min(times)
-    print(json.dumps({"cpus": cpus, "sec": dt, "pages": n_geo, "pages_per_sec": n_geo / dt}))
+    print(
+        json.dumps(
+            {
+                "cpus": cpus,
+                "sec": dt,
+                "all_secs": [round(t, 2) for t in times],
+                "pages": n_geo,
+                "pages_per_sec": n_geo / dt,
+            }
+        )
+    )
 
 
 def bench_spatial() -> dict:
+    """North-star measurement with a ratio-confirmed stopping rule.
+
+    Levels are INTERLEAVED (lo, hi, lo, hi, ...) so both sample
+    overlapping time windows on this shared host — one quiet window
+    hitting only one level otherwise skews the efficiency ratio by
+    ±0.1. Each subprocess internally confirms its own min (see
+    run_spatial_worker). On top of that, the OUTER loop confirms the
+    efficiency ratio itself: after each (lo, hi) pair it recomputes
+    efficiency from the best-so-far throughputs and stops only once
+    two consecutive estimates agree within 5% (>= 3 pairs, <= 5
+    pairs). Min-based throughput is the right estimator here — host
+    noise only ever ADDS time, so the min over samples converges to
+    the true floor and the ratio of floors is the true scaling
+    efficiency; the stopping rule just forces enough samples that the
+    estimate has actually converged before it is reported
+    (BASELINE.md documents contaminated single-window ratios of
+    0.61-0.73 for code whose converged ratio is 0.86-0.91)."""
     from gdal_vfr_spark import get_spark, datagen
 
     if not os.path.exists(SPATIAL_PATH):
@@ -158,15 +202,10 @@ def bench_spatial() -> dict:
     # tags are derived from the ACTUAL parallelism levels measured, so
     # the BENCH JSON is self-describing (round-1 advice: hard-coded
     # n8/n32 tags mislabeled the default local[2]/local[8] run).
-    # Levels are INTERLEAVED (lo, hi, lo, hi, ...) so both sample
-    # overlapping time windows on this shared host — one quiet window
-    # hitting only one level otherwise skews the efficiency ratio by
-    # ±0.1. Four rounds per level; min time per level wins (a measured
-    # 3-round run landed at eff 0.798 purely because all three hi
-    # windows caught a load spike; the extra round buys one more
-    # chance at a clean window per level).
     out["levels"] = {"lo": lo, "hi": hi}
-    for cpus in (lo, hi, lo, hi, lo, hi, lo, hi):
+    samples: dict[int, list[float]] = {lo: [], hi: []}
+
+    def _run_level(cpus: int) -> None:
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--spatial-worker", str(cpus), SPATIAL_PATH],
             capture_output=True,
@@ -176,11 +215,25 @@ def bench_spatial() -> dict:
         line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
         res = json.loads(line)
         tag = f"n{cpus}"
+        samples[cpus].append(round(res["pages_per_sec"]))
         if tag not in out or res["sec"] < out[tag]["sec"]:
             out[tag] = res
-    thr_lo = out[f"n{lo}"]["pages_per_sec"]
-    thr_hi = out[f"n{hi}"]["pages_per_sec"]
-    out["scaling_efficiency"] = (thr_hi / thr_lo) / (hi / lo)
+
+    eff_history: list[float] = []
+    min_pairs, max_pairs = 3, 5
+    for pair in range(max_pairs):
+        _run_level(lo)
+        _run_level(hi)
+        thr_lo = out[f"n{lo}"]["pages_per_sec"]
+        thr_hi = out[f"n{hi}"]["pages_per_sec"]
+        eff_history.append(round((thr_hi / thr_lo) / (hi / lo), 3))
+        if pair + 1 >= min_pairs and abs(
+            eff_history[-1] - eff_history[-2]
+        ) <= 0.05 * eff_history[-1]:
+            break
+    out["scaling_efficiency"] = eff_history[-1]
+    out["eff_history"] = eff_history
+    out["throughput_samples"] = {f"n{k}": v for k, v in samples.items()}
     return out
 
 
@@ -250,6 +303,8 @@ def main() -> None:
             f"pages_per_sec_n{lo}": round(spatial[f"n{lo}"]["pages_per_sec"]),
             f"pages_per_sec_n{hi}": round(spatial[f"n{hi}"]["pages_per_sec"]),
             "scaling_efficiency": round(spatial["scaling_efficiency"], 3),
+            "eff_history": spatial["eff_history"],
+            "throughput_samples": spatial["throughput_samples"],
         }
     print(json.dumps(result))
 

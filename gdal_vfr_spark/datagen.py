@@ -321,6 +321,40 @@ def gen_ulice_large(spark, n_side: int = 350):
     )
 
 
+AM_L_BASE = 80000000  # large address-point grid (gen_adresni_mista_large)
+
+
+def gen_adresni_mista_large(spark, n_side: int = 350):
+    """Address-point-scale POINT layer: one definition point per cell
+    of an n_side x n_side grid at (x0 + 0.3*dx, y0 + 0.7*dy) —
+    GENERATED DISTRIBUTEDLY (spark.range -> mapInPandas), coordinates
+    pure float arithmetic so oracles regenerate them bit-exactly. The
+    countrywide-AdresniMista stand-in (gfs/AdresniMista.gfs:8-24 over
+    6,258 OB files): n_side=350 gives 122,500 points, past any
+    driver-broadcast comfort zone at real scale — pairs with
+    PartitionedPointRangeJoiner / knn_join_points_large the way
+    gen_ulice_large pairs with PartitionedLineRangeJoiner."""
+    dx = (LON1 - LON0) / n_side
+    dy = (LAT1 - LAT0) / n_side
+
+    def _gen(batches):
+        for pdf in batches:
+            i = pdf["id"].to_numpy(dtype=np.int64)
+            ix = (i % n_side).astype(np.float64)
+            iy = (i // n_side).astype(np.float64)
+            yield pd.DataFrame(
+                {
+                    "kod": AM_L_BASE + i,
+                    "lon": (LON0 + ix * dx) + 0.3 * dx,
+                    "lat": (LAT0 + iy * dy) + 0.7 * dy,
+                }
+            )
+
+    return spark.range(n_side * n_side).mapInPandas(
+        _gen, "kod long, lon double, lat double"
+    )
+
+
 def gen_ulice_pdf(seed: int = 42, per_obec: int = 2) -> pd.DataFrame:
     """Street lines — the only line layer (gfs/Ulice.gfs:8-12); kNN
     target (nearest street to a page point)."""

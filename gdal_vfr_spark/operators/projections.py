@@ -98,3 +98,22 @@ def lowercase_layer_names(name: str, schema: str | None = None) -> str:
     if schema and schema[:1].isdigit():
         return f"vfr_{schema.lower()}.{n}"
     return f"{schema.lower()}.{n}" if schema else n
+
+
+def layer_output_name_expr(name_col, schema_col=None):
+    """P7 + F6 (+ M4's per-file schema naming, vfrogr.py:975-978) as a
+    Catalyst expression — the distributed twin of
+    lowercase_layer_names for manifest-sized DataFrames: lowercase the
+    layer name; when a schema is present prepend `schema.`, with a
+    `vfr_` prefix whenever the schema starts with a digit (PG schema
+    names cannot)."""
+    n = F.lower(name_col)
+    if schema_col is None:
+        return n
+    s = F.lower(schema_col)
+    prefixed = F.when(
+        F.substring(s, 1, 1).rlike("^[0-9]$"), F.concat(F.lit("vfr_"), s)
+    ).otherwise(s)
+    return F.when(
+        schema_col.isNull() | (schema_col == ""), n
+    ).otherwise(F.concat(prefixed, F.lit("."), n))

@@ -16,6 +16,13 @@ from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = 32
 
+# M7 / S6 — the reference registers EPSG:5514 (S-JTSK / Krovak East
+# North) into PostGIS spatial_ref_sys when missing (vfrpg.py:99-118).
+# This engine stores WGS84 lon/lat columns; the source SRS rides along
+# as a constant for lineage/metadata, not as a runtime transform.
+EPSG_SJTSK = 5514
+EPSG_WGS84 = 4326
+
 _PKG_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

@@ -56,6 +56,44 @@ def resolve_file_names(
     return [f"{prefix}/{d.strftime('%Y%m%d')}_{vfr_type}.{ext}" for d in dates]
 
 
+def file_name_expr(type_col, date_col):
+    """F8 — extension/prefix dispatch as a Catalyst expression, the
+    distributed twin of resolve_file_names (parse.py:74-79 synthesis;
+    UVOH routing vfrogr.py:346-350): UVOH types live under `specialni/`
+    as `.xml.zip`, everything else under `soucasna/` as `.xml.gz`."""
+    is_special = F.upper(type_col).endswith("UVOH")
+    prefix = F.when(is_special, F.lit("specialni/")).otherwise(F.lit("soucasna/"))
+    ext = F.when(is_special, F.lit(".xml.zip")).otherwise(F.lit(".xml.gz"))
+    return F.concat(prefix, F.date_format(date_col, "yyyyMMdd"), F.lit("_"), type_col, ext)
+
+
+def retry_plan(
+    df: DataFrame,
+    type_col: str = "vfr_type",
+    date_col: str = "base_date",
+) -> DataFrame:
+    """S2 — the HTTP source's date-retry semantics as a manifest
+    expansion (vfrogr.py:260-281): CUZK publishes full dumps on the
+    last day of the month but slips by up to 3 days, so a full-dump
+    download retries dates d, d+1, d+2, d+3 (ndays=3 => 4 attempts);
+    change files (`ST_Z*`) get exactly one attempt (ndays=0). Output
+    adds (attempt, candidate_date, candidate_name) rows per input —
+    the declarative twin of the reference's imperative retry loop: at
+    runtime a connector tries the candidates in attempt order and
+    keeps the first that exists. Pure Catalyst sequence/explode."""
+    ndays = F.when(
+        F.locate("ST_Z", F.upper(F.col(type_col))) > 0, F.lit(0)
+    ).otherwise(F.lit(3))
+    attempts = F.sequence(F.lit(0), ndays)
+    out = df.select("*", F.explode(attempts).alias("attempt"))
+    cand_date = F.date_add(F.col(date_col), F.col("attempt"))
+    return out.select(
+        "*",
+        cand_date.alias("candidate_date"),
+        file_name_expr(F.col(type_col), cand_date).alias("candidate_name"),
+    )
+
+
 def parse_dsn(df: DataFrame, dsn_col: str = "dsn") -> DataFrame:
     """F9 — OGR datasource-name extraction (vfr2pg's PG DSN parsing,
     vfrpg.py / vfr2py.py argument handling): split a

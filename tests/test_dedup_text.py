@@ -448,11 +448,20 @@ def test_decontaminate_flags_planted_overlap(spark):
     )
     flagged = {
         r["doc_id"]: r["n_contaminated"]
-        for r in dedup.decontaminate(docs, bench, n=16).collect()
+        for r in dedup.decontaminate(docs, bench, n=16, char_shingles=True).collect()
     }
     assert set(flagged) == {1} and flagged[1] > 0
-    clean = dedup.drop_contaminated(docs, dedup.decontaminate(docs, bench, n=16))
+    clean = dedup.drop_contaminated(
+        docs, dedup.decontaminate(docs, bench, n=16, char_shingles=True)
+    )
     assert sorted(r["doc_id"] for r in clean.collect()) == [2, 3]
+    # word-shingle default: the shared 6-token run is shorter than
+    # n=13, so nothing is flagged — but at n=6 doc 1 is
+    flagged_w = {
+        r["doc_id"] for r in dedup.decontaminate(docs, bench, n=6).collect()
+    }
+    assert flagged_w == {1}
+    assert dedup.decontaminate(docs, bench, n=13).count() == 0
 
 
 def test_bm25_topk_ranking_semantics(spark):
@@ -524,3 +533,95 @@ def test_temperature_quota_sample_semantics(spark):
         ).collect()
     )
     assert a == b
+
+
+def test_word_shingles_expr_reference(spark):
+    """Word 13-gram shingles match a plain-Python reference, including
+    the short-doc (full-sequence) and empty-text edges."""
+    import re as _re
+
+    from pyspark.sql import functions as F
+
+    from gdal_vfr_spark.functions.text_expr import word_shingles_expr
+
+    texts = [
+        "The quick brown fox jumps over the lazy dog near the river bank today",
+        "short doc",
+        "",
+        "  punctuation, splits; tokens!  and    spaces  ",
+    ]
+
+    def ref(t, n=13):
+        toks = [x for x in _re.split(r"[^a-z0-9]+", t.lower()) if x]
+        if len(toks) <= n:
+            grams = [" ".join(toks)]
+        else:
+            grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+        seen, out = set(), []
+        for g in grams:
+            if g and g not in seen:
+                seen.add(g)
+                out.append(g)
+        return out
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string").select(
+        "text", word_shingles_expr(F.col("text"), 13).alias("sh")
+    )
+    got = {r["text"]: list(r["sh"]) for r in df.collect()}
+    for t in texts:
+        assert got[t] == ref(t)
+
+
+def test_decontaminate_word_mode(spark):
+    """A doc sharing a 13-token window with the benchmark is flagged;
+    an unrelated doc is not; char mode still works."""
+    words = " ".join(f"w{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [(1, words + " tail tokens here"), (2, "completely different content")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(words,)], "text string")
+    out = {r["doc_id"]: r["n_contaminated"] for r in dedup.decontaminate(docs, bench).collect()}
+    assert 1 in out and 2 not in out
+    outc = dedup.decontaminate(docs, bench, n=16, char_shingles=True).collect()
+    assert any(r["doc_id"] == 1 for r in outc)
+
+
+def test_multimodal_real_decode_roundtrip(spark):
+    """PPM and WAV: encode -> decode roundtrips bit-exactly; comments
+    parse; resize_nearest picks the floor-index pixels; Spark stats
+    match numpy."""
+    import numpy as np
+
+    from gdal_vfr_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    buf = mm.encode_ppm(img)
+    assert np.array_equal(mm.decode_ppm(buf), img)
+    commented = b"P6\n# a comment\n7 5\n255\n" + img.tobytes()
+    assert np.array_equal(mm.decode_ppm(commented), img)
+    samples = (rng.integers(-2000, 2000, size=77)).astype(np.int16)
+    wav = mm.encode_wav_pcm16(samples, 8000)
+    back, rate = mm.decode_wav_pcm16(wav)
+    assert rate == 8000 and np.array_equal(back, samples)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        mm.decode_ppm(b"P5\n1 1\n255\n\x00")
+    with _pytest.raises(ValueError):
+        mm.decode_wav_pcm16(b"nope")
+
+    df = spark.createDataFrame([("a", bytearray(buf))], "url string, image binary")
+    st = mm.image_decode_stats(df, binary_col="image").first()
+    s = img.reshape(-1, 3).sum(axis=0)
+    assert (st["width"], st["height"], st["n_px"]) == (7, 5, 35)
+    assert (st["sum_r"], st["sum_g"], st["sum_b"]) == tuple(int(v) for v in s)
+    rz = mm.resize_nearest(df, width=3, height=2, binary_col="image").first()
+    want = img[(np.arange(2) * 5) // 2][:, (np.arange(3) * 7) // 3, :]
+    assert np.array_equal(mm.decode_ppm(bytes(rz["image"])), want)
+    adf = spark.createDataFrame([("a", bytearray(wav))], "url string, audio binary")
+    ast_ = mm.audio_decode_stats(adf, binary_col="audio").first()
+    a = np.abs(samples.astype(np.int64))
+    assert (ast_["sample_rate"], ast_["n_samples"]) == (8000, 77)
+    assert (ast_["sum_abs"], ast_["max_abs"]) == (int(a.sum()), int(a.max()))

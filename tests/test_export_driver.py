@@ -133,3 +133,28 @@ def test_resolve_options_precedence(tmp_path):
     bad.write_text("LOG_DIR\n")
     with pytest.raises(ValueError, match="invalid configuration line"):
         resolve_options(conf_path=str(bad), env={})
+
+
+def test_layer_output_name_expr_parity(spark):
+    """P7/F6 Catalyst twin vs lowercase_layer_names across the schema
+    branches (none, plain, digit-leading)."""
+    from pyspark.sql import functions as F
+
+    from gdal_vfr_spark.operators.projections import (
+        layer_output_name_expr,
+        lowercase_layer_names,
+    )
+
+    cases = [("StavebniObjekty", None), ("Ulice", "RUIAN_Main"),
+             ("Parcely", "20240630_ob"), ("AdresniMista", "")]
+    df = spark.createDataFrame(cases, "name string, schema string").select(
+        "name", "schema",
+        layer_output_name_expr(F.col("name"), F.col("schema")).alias("out"),
+    )
+    for r in df.collect():
+        assert r["out"] == lowercase_layer_names(r["name"], r["schema"] or None)
+    # no-schema overload
+    one = spark.createDataFrame([("Obce",)], "name string").select(
+        layer_output_name_expr(F.col("name")).alias("out")
+    )
+    assert one.first()["out"] == "obce"

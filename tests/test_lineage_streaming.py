@@ -250,3 +250,44 @@ def test_streaming_sessionize_state_spans_batches(spark, tmp_path):
     r = out[0]
     assert (r["user_id"], r["session_idx"], r["n_events"]) == (1, 1, 3)
     assert r["duration_sec"] == 8 * 60  # spans the batch boundary unbroken
+
+
+def test_file_name_expr_matches_python(spark):
+    """F8 Catalyst twin vs resolve_file_names on both routing branches."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from gdal_vfr_spark.sources.manifest import file_name_expr, resolve_file_names
+
+    cases = [("ST_UKSH", dt.date(2024, 6, 30)), ("ST_UVOH", dt.date(2024, 7, 1)),
+             ("OB_530743_UKSH", dt.date(2024, 1, 31))]
+    df = spark.createDataFrame(
+        [(t, d) for t, d in cases], "vfr_type string, d date"
+    ).select(file_name_expr(F.col("vfr_type"), F.col("d")).alias("name"))
+    got = [r["name"] for r in df.collect()]
+    want = [resolve_file_names(t, [d])[0] for t, d in cases]
+    assert got == want
+
+
+def test_retry_plan_semantics(spark):
+    """S2: change types get 1 attempt, full dumps get 4 (d..d+3) —
+    vfrogr.py:260-281's ndays rule."""
+    import datetime as dt
+
+    from gdal_vfr_spark.sources.manifest import retry_plan
+
+    df = spark.createDataFrame(
+        [("ST_ZKSH", dt.date(2024, 6, 30)), ("ST_UKSH", dt.date(2024, 6, 30))],
+        "vfr_type string, base_date date",
+    )
+    rows = retry_plan(df).collect()
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r["vfr_type"], []).append(r)
+    assert len(by_type["ST_ZKSH"]) == 1
+    assert len(by_type["ST_UKSH"]) == 4
+    full = sorted(by_type["ST_UKSH"], key=lambda r: r["attempt"])
+    assert [r["candidate_date"].day for r in full] == [30, 1, 2, 3]
+    assert full[1]["candidate_name"] == "soucasna/20240701_ST_UKSH.xml.gz"
+    assert by_type["ST_ZKSH"][0]["candidate_name"] == "soucasna/20240630_ST_ZKSH.xml.gz"

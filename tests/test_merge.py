@@ -258,3 +258,72 @@ def test_append_schema_evolution(spark, tmp_path):
     t.append(widened, allow_schema_evolution=True)
     rows = {r["gml_id"]: (r["nazev"], r["vymera"]) for r in t.read().collect()}
     assert rows == {1: ("a", None), 2: ("b", 7)}
+
+
+def test_decide_mode_expr_parity(spark):
+    """The Catalyst M1 twin must agree with the Python decide_mode on
+    every name shape the reference produces (vfrogr.py:992-1003)."""
+    from pyspark.sql import functions as F
+
+    names = [
+        "20240707_ST_ZKSH.xml.gz",
+        "20240630_OB_500011_UKSH.xml.gz",
+        "/some/dir/20140707_ST_UVOH.xml.zip",
+        "soucasna/20240601_OB_12345_ZKSH.xml.gz",
+        "20240630_ST_UKSH.xml.gz",
+    ]
+    for append in (False, True):
+        df = spark.createDataFrame([(n,) for n in names], "name string")
+        got = {
+            r["name"]: r["mode"]
+            for r in df.select(
+                "name", M.decide_mode_expr(F.col("name"), F.lit(append)).alias("mode")
+            ).collect()
+        }
+        for n in names:
+            assert got[n] == M.decide_mode(n, append_flag=append)
+
+
+def test_forced_drop_and_copy_toggle_exprs(spark):
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("Ulice", "ST_UKSH", True, True),
+        ("Parcely", "ST_UKSH", False, False),   # no overwrite
+        ("Obce", "ST_UKSH", True, False),        # not OB-only
+        ("AdresniMista", "OB_500011_UKSH", True, False),  # not ST
+        ("stavebniobjekty", "ST_ZKSH", True, True),
+    ]
+    df = spark.createDataFrame(
+        [(a, b, c) for a, b, c, _ in rows], "layer string, t string, ow boolean"
+    )
+    got = [
+        r["d"]
+        for r in df.select(
+            M.forced_drop_expr(F.col("layer"), F.col("t"), F.col("ow")).alias("d")
+        ).collect()
+    ]
+    assert got == [want for *_x, want in rows]
+    tg = spark.createDataFrame(
+        [("change",), ("append",), ("write",)], "mode string"
+    ).select(M.bulk_copy_toggle_expr(F.col("mode")).alias("v"))
+    assert [r["v"] for r in tg.collect()] == ["NO", "YES", None]
+
+
+def test_m4_partitioned_read_prunes(spark, tmp_path):
+    """M4 — the per-batch read off the batch_id-partitioned layout must
+    be partition-PRUNED (PartitionFilters on batch_id), mirroring the
+    reference's schema-per-file isolation (vfrogr.py:969-990)."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "by_batch")
+    df = spark.range(1000).select(
+        F.col("id").alias("key"),
+        F.concat(F.lit("b"), (F.col("id") % 4).cast("string")).alias("batch_id"),
+    )
+    df.write.partitionBy("batch_id").parquet(path)
+    back = spark.read.parquet(path).where(F.col("batch_id") == "b2")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "batch_id" in plan
+    assert back.count() == 250
+    assert back.where(F.col("key") % 4 != 2).count() == 0

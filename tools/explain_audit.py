@@ -105,6 +105,26 @@ AUDIT = [
     # tile bbox read: partition-pruned scan -> one agg + contract orderBy;
     # PartitionFilters visibility is asserted in tests/test_tiles.py
     ("geo_tile_bbox_read", dict(max_python=0, max_shuffles=2)),
+    # round-4 lifecycle contract queries: pure Catalyst projections
+    # over one orders scan + the contract orderBy
+    ("m1_mode_dispatch", dict(max_python=0, max_shuffles=1)),
+    ("s6_sink_toggles", dict(max_python=0, max_shuffles=1)),
+    ("s2_retry_plan", dict(max_python=0, max_shuffles=1)),
+    # fan-out read-back: the returned plan is a LocalTableScan of the
+    # per-dataset counts (the export writes ran imperatively) + sort
+    ("s7_export_fanout", dict(max_python=0, max_shuffles=1)),
+    ("p7_layer_names", dict(max_python=0, max_shuffles=1)),
+    ("m2_forced_drop", dict(max_python=0, max_shuffles=1)),
+    # M4: partition-pruned scan of the batch_id layout -> agg -> orderBy
+    ("m4_schema_per_file", dict(max_python=0, max_shuffles=2)),
+    # partitioned point-kNN: python = target-grid gen + group build
+    # (both O(dimension)) + ONE cogrouped refine; points drop map-side
+    # on the broadcast presence set, shuffle once (cogroup pair), then
+    # rank window + contract orderBy
+    ("geo_knn_points_large", dict(max_python=4, want_broadcast=True, max_shuffles=5)),
+    # multimodal: synth + decode/stat passes are mapInPandas by design
+    # (per-payload parsers); joins are broadcast at this row count
+    ("multimodal_decode", dict(max_python=8, want_broadcast=True, max_shuffles=4)),
 ]
 
 

@@ -77,24 +77,102 @@ def decontaminate(
     O(chars) — the round-3 headline's biggest map-side cost cut. The
     10^12-doc side never shuffles its text, only (id, matched-hash)
     survivors."""
-    sh = (
-        (lambda c: shingles_expr(c, n))
-        if char_shingles
-        else (lambda c: word_shingles_expr(c, n))
-    )
-    # explode must stay a top-level generator; hash in a second select
-    bench = (
-        benchmark.select(F.explode(sh(F.col(bench_text_col))).alias("__s"))
-        .select(shingle_hash_expr(F.col("__s")).alias("__sh"))
-        .distinct()
-    )
+    if char_shingles:
+        # explode must stay a top-level generator; hash in a 2nd select
+        bench = (
+            benchmark.select(
+                F.explode(shingles_expr(F.col(bench_text_col), n)).alias("__s")
+            )
+            .select(shingle_hash_expr(F.col("__s")).alias("__sh"))
+            .distinct()
+        )
+        probe = docs.select(
+            F.col(id_col), F.explode(shingles_expr(F.col(text_col), n)).alias("__s")
+        ).select(id_col, shingle_hash_expr(F.col("__s")).alias("__sh"))
+    else:
+        bench = word_shingle_hash_rows(
+            benchmark.select(F.col(bench_text_col).alias("__t")), "__t", None, n
+        ).distinct()
+        probe = word_shingle_hash_rows(docs, text_col, id_col, n)
     return (
-        docs.select(F.col(id_col), F.explode(sh(F.col(text_col))).alias("__s"))
-        .select(id_col, shingle_hash_expr(F.col("__s")).alias("__sh"))
-        .join(F.broadcast(bench), "__sh")
+        probe.join(F.broadcast(bench), "__sh")
         .groupBy(id_col)
         .agg(F.count("*").alias("n_contaminated"))
     )
+
+
+def word_shingle_hash_rows(
+    df: DataFrame,
+    text_col: str,
+    id_col: str | None,
+    n: int = 13,
+    use_expr: bool = False,
+) -> DataFrame:
+    """Exploded (id_col?, __sh) rows — one per DISTINCT word n-gram of
+    each document, keyed by the 16-hex-char md5-half shingle hash
+    (shingle_hash_expr semantics). Default path is an Arrow mapInPandas
+    pass (regex tokenize + window join + hashlib md5 per distinct
+    window) — the same fast-path-plus-expr-twin split as with_minhash:
+    the Catalyst higher-order-function construction (use_expr=True,
+    bit-identical — pinned in tests/test_dedup_text.py) pays ~18µs of
+    interpreter overhead PER WINDOW (slice + concat_ws are interpreted
+    per element), which measured 2x slower than the whole char-shingle
+    path despite 6x fewer units. Tokenization is the tokens_expr
+    contract: lower, split on [^a-z0-9]+, drop empties; docs shorter
+    than n tokens contribute their full sequence; empty dropped."""
+    cols = ([id_col] if id_col else []) + [text_col]
+    src = df.select(*cols)
+    # a corpus at scale arrives in thousands of parquet splits; a
+    # bench-sized fixture arrives as ONE small file, which would
+    # serialize the Arrow pass on a single python worker. Spreading a
+    # tiny input is a trivial shuffle; at production partition counts
+    # this branch never fires (so "the corpus never shuffles its text"
+    # still holds where it matters).
+    para = src.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < para:
+        src = src.repartition(para)
+    if use_expr:
+        out = src.select(
+            *([id_col] if id_col else []),
+            F.explode(word_shingles_expr(F.col(text_col), n)).alias("__s"),
+        )
+        return out.select(
+            *([id_col] if id_col else []), shingle_hash_expr(F.col("__s")).alias("__sh")
+        )
+
+    schema = (
+        f"{src.schema[id_col].name} {src.schema[id_col].dataType.simpleString()}, __sh string"
+        if id_col
+        else "__sh string"
+    )
+    tok_re = re.compile(r"[^a-z0-9]+")
+
+    def _rows(batches):
+        for pdf in batches:
+            ids_out: list = []
+            sh_out: list[str] = []
+            texts = pdf[text_col]
+            ids = pdf[id_col] if id_col else None
+            for j in range(len(pdf)):
+                toks = [t for t in tok_re.split(str(texts.iloc[j]).lower()) if t]
+                if len(toks) <= n:
+                    grams = {" ".join(toks)} if toks else set()
+                else:
+                    grams = {
+                        " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+                    }
+                hs = [
+                    hashlib.md5(g.encode("utf-8")).hexdigest()[:16] for g in grams
+                ]
+                sh_out.extend(hs)
+                if id_col is not None:
+                    ids_out.extend([ids.iloc[j]] * len(hs))
+            data = {"__sh": sh_out}
+            if id_col is not None:
+                data = {id_col: ids_out, "__sh": sh_out}
+            yield pd.DataFrame(data)
+
+    return src.mapInPandas(_rows, schema)
 
 
 def drop_contaminated(

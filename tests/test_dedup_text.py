@@ -625,3 +625,22 @@ def test_multimodal_real_decode_roundtrip(spark):
     a = np.abs(samples.astype(np.int64))
     assert (ast_["sample_rate"], ast_["n_samples"]) == (8000, 77)
     assert (ast_["sum_abs"], ast_["max_abs"]) == (int(a.sum()), int(a.max()))
+
+
+def test_word_shingle_rows_udf_expr_parity(spark, docs):
+    """The Arrow fast path and the Catalyst expression twin must emit
+    identical (doc_id, shingle-hash) sets (with_minhash-style pin)."""
+    from gdal_vfr_spark.operators.dedup import word_shingle_hash_rows
+
+    for n in (3, 13):
+        fast = {
+            (r[0], r[1])
+            for r in word_shingle_hash_rows(docs, "text", "doc_id", n).collect()
+        }
+        expr = {
+            (r[0], r[1])
+            for r in word_shingle_hash_rows(
+                docs, "text", "doc_id", n, use_expr=True
+            ).collect()
+        }
+        assert fast == expr and len(fast) > 0

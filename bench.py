@@ -237,10 +237,26 @@ def bench_spatial() -> dict:
     return out
 
 
+def _wait_for_idle(threshold: float = 6.0, max_wait: float = 120.0) -> None:
+    """Hold the measurement until the 1-minute load average drops below
+    `threshold` (bounded wait): launching into the tail of another
+    job's load (measured: a suite launched at load 11.6 recorded its
+    first queries at 2.2-2.6x their floors, CONFIRMED — the spike
+    outlived the per-query retry budget). A bounded settle-wait costs
+    at most 2 minutes and removes the worst contamination mode the
+    per-query confirmation can't."""
+    t0 = time.time()
+    while time.time() - t0 < max_wait:
+        if os.getloadavg()[0] < threshold:
+            return
+        time.sleep(10)
+
+
 def main() -> None:
     if len(sys.argv) > 2 and sys.argv[1] == "--spatial-worker":
         run_spatial_worker(int(sys.argv[2]), sys.argv[3])
         return
+    _wait_for_idle()
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")

@@ -1525,6 +1525,47 @@ def q_stream_dedup(spark, sf_dir):
     return out.orderBy("doc_id")
 
 
+_SDECON_SEQ = [0]
+
+
+def q_stream_decontaminate(spark, sf_dir):
+    """§2.10 + decontamination worn as Structured Streaming: the corpus
+    arrives as two parquet files (doc_id halves, one per micro-batch);
+    the benchmark shingle-hash set is static and broadcast into every
+    micro-batch (stream-static join). Complete-mode counts equal the
+    batch dedup_decontaminate over the same input — the oracle IS the
+    batch twin's SQL."""
+    _ensure_shipped(spark)
+    import glob
+    import shutil
+
+    from gdal_vfr_spark.streaming.incremental import streaming_decontaminate
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.where(F.col("doc_id") % 50 == 7).select(
+        F.substring("text", 10, 200).alias("text")
+    )
+    tmp = _tile_store_dir(prefix="gvs_sdecon_")
+    src = os.path.join(tmp, "docs")
+    os.makedirs(src)
+    halves = (docs.where(F.col("doc_id") % 2 == 0), docs.where(F.col("doc_id") % 2 == 1))
+    for i, batch in enumerate(halves, start=1):
+        stage = os.path.join(tmp, f"stage{i}")
+        batch.coalesce(1).write.parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(src, f"{i:04d}.parquet"))
+    _SDECON_SEQ[0] += 1
+    out = streaming_decontaminate(
+        spark,
+        src,
+        schema=docs.schema,
+        checkpoint_dir=os.path.join(tmp, "ckpt"),
+        out_table=f"stream_decon_{_SDECON_SEQ[0]}",
+        bench_df=bench,
+    )
+    return out.orderBy("doc_id")
+
+
 _WSTREAM_SEQ = [0]
 
 
@@ -2717,6 +2758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m4_schema_per_file": q_m4_schema_per_file,
         "geo_knn_points_large": q_geo_knn_points_large,
         "multimodal_decode": q_multimodal_decode,
+        "stream_decontaminate": q_stream_decontaminate,
         "dedup_decontaminate": q_dedup_decontaminate,
         # --- (2) newest driver row is r01/r02 ---
         "w_tumbling_hour": q_w_tumbling_hour,
@@ -3614,6 +3656,34 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             WHERE o_orderkey % 10 < 4 AND o_orderkey % 4 IN (1, 2)
             GROUP BY 1 ORDER BY batch_id
+        """,
+        "stream_decontaminate": """
+            WITH btoks AS (
+              SELECT list_filter(regexp_split_to_array(lower(substr(text, 10, 200)),
+                       '[^a-z0-9]+'), x -> x <> '') AS toks
+              FROM documents WHERE doc_id % 50 = 7
+            ), bench AS (
+              SELECT DISTINCT sh FROM (
+                SELECT unnest(list_filter(list_distinct(list_transform(
+                         range(1, greatest(len(toks) - 12, 1) + 1),
+                         i -> array_to_string(toks[i:i+12], ' '))),
+                       x -> x <> '')) AS sh
+                FROM btoks
+              )
+            ), dtoks AS (
+              SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+                       '[^a-z0-9]+'), x -> x <> '') AS toks
+              FROM documents
+            ), d AS (
+              SELECT doc_id, unnest(list_filter(list_distinct(list_transform(
+                       range(1, greatest(len(toks) - 12, 1) + 1),
+                       i -> array_to_string(toks[i:i+12], ' '))),
+                     x -> x <> '')) AS sh
+              FROM dtoks
+            )
+            SELECT d.doc_id, count(*) AS n_contaminated
+            FROM d JOIN bench ON d.sh = bench.sh
+            GROUP BY d.doc_id ORDER BY d.doc_id
         """,
         "multimodal_decode": """
             WITH keys AS (

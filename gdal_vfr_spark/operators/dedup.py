@@ -128,9 +128,12 @@ def word_shingle_hash_rows(
     # tiny input is a trivial shuffle; at production partition counts
     # this branch never fires (so "the corpus never shuffles its text"
     # still holds where it matters).
-    para = src.sparkSession.sparkContext.defaultParallelism
-    if src.rdd.getNumPartitions() < para:
-        src = src.repartition(para)
+    # (streaming inputs skip the check: .rdd is undefined on a stream,
+    # and micro-batch partitioning is the trigger's concern)
+    if not src.isStreaming:
+        para = src.sparkSession.sparkContext.defaultParallelism
+        if src.rdd.getNumPartitions() < para:
+            src = src.repartition(para)
     if use_expr:
         out = src.select(
             *([id_col] if id_col else []),

@@ -138,6 +138,66 @@ def streaming_exact_dedup(
     return spark.table(out_table)
 
 
+def streaming_decontaminate(
+    spark,
+    docs_dir: str,
+    schema,
+    checkpoint_dir: str,
+    out_table: str,
+    bench_df: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Streaming benchmark decontamination: the corpus arrives as a
+    file stream (maxFilesPerTrigger=1); the benchmark shingle-hash set
+    is STATIC — computed once, persisted, and broadcast into every
+    micro-batch via a stream-static equi-join (Spark-native; no state
+    store needed because the static side never changes). Per-doc
+    contaminated counts aggregate across micro-batches in complete
+    mode — since each doc arrives in exactly one micro-batch, the
+    final table equals the batch decontaminate() over the unioned
+    input, which is the exactness contract the oracle checks.
+
+    Scale shape: identical to the batch operator — the corpus side is
+    map-only (Arrow shingle pass + broadcast semi-join) per
+    micro-batch; only (id, matched-hash) survivors reach the running
+    aggregate."""
+    from gdal_vfr_spark.operators.dedup import word_shingle_hash_rows
+
+    bench = (
+        word_shingle_hash_rows(
+            bench_df.select(F.col(bench_text_col).alias("__t")), "__t", None, n
+        )
+        .distinct()
+        .persist()
+    )
+    bench.count()  # materialize once, not per micro-batch
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_dir)
+    )
+    counts = (
+        word_shingle_hash_rows(stream, text_col, id_col, n)
+        .join(F.broadcast(bench), "__sh")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(out_table)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    bench.unpersist()
+    return spark.table(out_table)
+
+
 def streaming_sessionize(
     spark,
     events_dir: str,

@@ -289,6 +289,16 @@ def audio_decode_stats(df: DataFrame, binary_col: str = "audio", url_col: str = 
     return src.mapInPandas(_map, schema=AUDIO_STATS_SCHEMA)
 
 
+def nearest_resize(img: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor sample of an (h, w, 3) raster to (height,
+    width, 3): deterministic floor index map, vectorized fancy
+    indexing."""
+    h, w, _ = img.shape
+    yi = (np.arange(height, dtype=np.int64) * h) // height
+    xi = (np.arange(width, dtype=np.int64) * w) // width
+    return img[yi[:, None], xi[None, :], :]
+
+
 def resize_nearest(
     df: DataFrame, width: int, height: int,
     binary_col: str = "image", url_col: str = "url",
@@ -303,13 +313,10 @@ def resize_nearest(
 
     def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for b in pdf[binary_col]:
-                img = decode_ppm(bytes(b))
-                h, w, _ = img.shape
-                yi = (np.arange(height, dtype=np.int64) * h) // height
-                xi = (np.arange(width, dtype=np.int64) * w) // width
-                out.append(encode_ppm(img[yi[:, None], xi[None, :], :]))
+            out = [
+                encode_ppm(nearest_resize(decode_ppm(bytes(b)), width, height))
+                for b in pdf[binary_col]
+            ]
             yield pd.DataFrame({"url": pdf[url_col], binary_col: out})
 
     return src.mapInPandas(_map, schema=out_schema)

@@ -2327,6 +2327,60 @@ def q_multimodal_decode(spark, sf_dir):
     )
 
 
+def q_ann_int8_topk(spark, sf_dir):
+    """int8 scalar-quantized inner-product top-k (the ANN serving
+    memory-bandwidth path: 4x less scan traffic than float32, codes
+    comparable across shards because the scale is the data-independent
+    127/||x||). Integer dot scores are order-free-exact; the DuckDB
+    twin recomputes the identical codes (same float64 normalize +
+    round-half-away), so the result hash-matches bit-for-bit. Recall
+    vs the float `ann_topk` is additionally pinned in pytest."""
+    emb = _read(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return (
+        similarity.int8_topk(emb, q, k=3)
+        .select(
+            "query_id", "vec_id", "score", F.col("rank").cast("long").alias("rank")
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def q_sketch_hll_distinct(spark, sf_dir):
+    """Mergeable HyperLogLog distinct-token sketch over the corpus
+    (operators/sketches.py): md5-derived 60-bit hash -> 256 registers
+    via one map-side-combining groupBy(max) -> one-row integer-exact
+    summary (register count, scaled harmonic denominator, fixed-point
+    raw estimate). The shuffle moves <= 256 rows per partition no
+    matter the corpus size — the constant-state property that replaces
+    a full distinct-key shuffle at 10^12 tokens. The DuckDB twin
+    rebuilds the registers bit-for-bit (same md5 hex slice, same
+    bin()-bitlength rho, same integer shifts)."""
+    from gdal_vfr_spark.functions.text_expr import tokens_expr
+    from gdal_vfr_spark.operators import sketches
+
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens_expr(F.col("text"))).alias("token"))
+    return sketches.hll_distinct(toks, "token")
+
+
+def q_sketch_cms_topk(spark, sf_dir):
+    """Count-Min heavy hitters over the corpus token stream
+    (operators/sketches.py): 4x1024 counter table from one map-side-
+    combining groupBy (constant state), broadcast back to estimate
+    every candidate token (min over the 4 rows — the CMS point
+    query), top-20 by (est_occ desc, token asc). Candidate stream =
+    the distinct tokens themselves here, which keeps the oracle exact
+    while exercising the same counter/estimate path a space-saving
+    candidate pass would use at scale."""
+    from gdal_vfr_spark.operators import sketches
+
+    docs = _read(spark, sf_dir, "documents")
+    return sketches.cms_topk(docs, n=20)
+
+
 def q_embedding_near_dup(spark, sf_dir):
     """Embedding near-dup pairs within SRP buckets. The bucketing is a
     deterministic function of the seeded hyperplane constants, so the
@@ -2760,6 +2814,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         "stream_decontaminate": q_stream_decontaminate,
         "dedup_decontaminate": q_dedup_decontaminate,
+        "sketch_hll_distinct": q_sketch_hll_distinct,
+        "sketch_cms_topk": q_sketch_cms_topk,
+        "ann_int8_topk": q_ann_int8_topk,
         # --- (2) newest driver row is r01/r02 ---
         "w_tumbling_hour": q_w_tumbling_hour,
         "geo_pip_counts": q_geo_pip_counts,
@@ -2853,6 +2910,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     geo = GEO_SQL.strip()
+    # HLL constants — derived from the SAME formulas as
+    # operators/sketches.py so the one float literal (the estimate
+    # numerator) is bit-identical in both engines (repr round-trips
+    # exactly through DuckDB's double parser).
+    from gdal_vfr_spark.operators import sketches as _sk
+
+    _hll_m = 1 << _sk.HLL_P
+    _hll_rho_max = 4 * _sk.HLL_HEX_CHARS - _sk.HLL_P + 1
+    _hll_num = (
+        0.7213 / (1.0 + 1.079 / _hll_m) * _hll_m * _hll_m * (2.0**_hll_rho_max) * 1e6
+    )
     return {
         "a1_pricing_summary": """
             SELECT l_returnflag, l_linestatus, count(*) AS n,
@@ -3127,6 +3195,60 @@ def oracle_sql() -> dict[str, str]:
               SELECT unnest({_duck_tokens('text')}) AS token FROM documents
             ) GROUP BY token ORDER BY n_occ DESC, token ASC LIMIT 20
         """,
+        "sketch_hll_distinct": f"""
+            WITH toks AS (
+              SELECT unnest({_duck_tokens('text')}) AS token FROM documents
+            ),
+            h AS (
+              SELECT CAST(('0x' || substr(md5(token), 1, {_sk.HLL_HEX_CHARS}))::UBIGINT AS BIGINT) AS h
+              FROM toks WHERE token IS NOT NULL
+            ),
+            hw AS (SELECT h % {_hll_m} AS idx, h // {_hll_m} AS w FROM h),
+            regs AS (
+              SELECT idx,
+                     max(CASE WHEN w = 0 THEN {_hll_rho_max}
+                              ELSE {_hll_rho_max} - length(bin(w)) END) AS mj
+              FROM hw GROUP BY idx
+            ),
+            s AS (
+              SELECT count(*) AS nonzero_regs,
+                     sum(1::BIGINT << ({_hll_rho_max} - mj)) AS present_denom
+              FROM regs
+            )
+            SELECT CAST({_hll_m} AS BIGINT) AS m,
+                   CAST(nonzero_regs AS BIGINT) AS nonzero_regs,
+                   CAST(present_denom
+                        + ({_hll_m} - nonzero_regs) * (1::BIGINT << {_hll_rho_max})
+                        AS BIGINT) AS denom_scaled,
+                   CAST(round({_hll_num!r} / CAST(present_denom
+                        + ({_hll_m} - nonzero_regs) * (1::BIGINT << {_hll_rho_max})
+                        AS DOUBLE)) AS BIGINT) AS est_e6
+            FROM s
+        """,
+        "sketch_cms_topk": f"""
+            WITH toks AS (
+              SELECT unnest({_duck_tokens('text')}) AS token FROM documents
+            ),
+            expanded AS (
+              SELECT token, t.r AS row,
+                     CAST(('0x' || substr(md5(CAST(t.r AS VARCHAR) || ':' || token), 1, 8))::UBIGINT
+                          % {_sk.CMS_WIDTH} AS BIGINT) AS bucket
+              FROM toks, range({_sk.CMS_DEPTH}) t(r)
+            ),
+            counters AS (
+              SELECT row, bucket, count(*) AS cnt FROM expanded GROUP BY row, bucket
+            ),
+            cexp AS (
+              SELECT DISTINCT token, row, bucket FROM expanded
+            ),
+            est AS (
+              SELECT c.token, min(coalesce(k.cnt, 0)) AS est_occ
+              FROM cexp c LEFT JOIN counters k USING (row, bucket)
+              GROUP BY c.token
+            )
+            SELECT token, CAST(est_occ AS BIGINT) AS est_occ
+            FROM est ORDER BY est_occ DESC, token ASC LIMIT 20
+        """,
         "text_source_stats": f"""
             WITH q AS ({_duck_quality_sql()})
             SELECT d.source, count(*) AS n_docs,
@@ -3226,6 +3348,36 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1 ORDER BY batch_date
         """,
         "ann_topk": _duck_cosine_topk_sql() + " ORDER BY query_id, rank",
+        "ann_int8_topk": """
+            WITH normed AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)
+                       / sqrt(list_reduce(list_prepend(0.0, list_transform(embedding,
+                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b))) AS ne
+              FROM embeddings
+              WHERE sqrt(list_reduce(list_prepend(0.0, list_transform(embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)) > 0
+            ),
+            codes AS (
+              SELECT vec_id,
+                     list_transform(ne, x -> CAST(round(x * 127.0) AS INT)) AS c
+              FROM normed
+            ),
+            q AS (SELECT vec_id AS query_id, c AS qc FROM codes WHERE vec_id < 5),
+            scored AS (
+              SELECT q.query_id, codes.vec_id,
+                     list_reduce(list_prepend(0::BIGINT,
+                       list_transform(list_zip(q.qc, codes.c),
+                         p -> CAST(p[1] AS BIGINT) * CAST(p[2] AS BIGINT))),
+                       (a, b) -> a + b) AS score
+              FROM q, codes
+            )
+            SELECT query_id, vec_id, score, rank FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank
+              FROM scored
+            ) WHERE rank <= 3 ORDER BY query_id, rank
+        """,
         "ann_lsh_topk": _duck_srp_topk_sql(),
         "ann_ivf_topk": _duck_ivf_topk_sql(),
         "ann_ivf_indexed": _duck_ivf_topk_sql(),

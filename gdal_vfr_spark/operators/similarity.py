@@ -552,3 +552,80 @@ def cosine_near_dup_pairs(
         .where(F.col("cosine") >= threshold)
         .distinct()
     )
+
+
+# --- int8 scalar quantization (memory-bandwidth scale path) --------------
+
+
+def quantize_int8(
+    df: DataFrame, vec_col: str = "embedding", out_col: str = "codes"
+) -> DataFrame:
+    """Unit-normalize (float64) then scalar-quantize to int8 codes:
+    code_i = round(x_i / ||x|| * 127).
+
+    The serving math: normalized components live in [-1, 1], so 127 is
+    a data-independent scale — no corpus pass to find a max, and codes
+    from different snapshots/partitions are directly comparable (the
+    property that lets a 100-TB index shard freely). 4 bytes -> 1 byte
+    per component cuts scan bandwidth 4x, which is what an ANN serving
+    scan is bound by.
+
+    Engine-exact: ||x|| uses the sequential float64 fold + sqrt (both
+    engines correctly rounded), round() ties go away from zero in both
+    Spark (HALF_UP) and DuckDB — the DuckDB twin reproduces the codes
+    bit-for-bit. Zero vectors are dropped (no defined direction), same
+    WHERE in the twin.
+    """
+    v = F.col(vec_col)
+    n = norm_expr(v)
+    codes = F.transform(
+        v, lambda x: F.round(x.cast("double") / n * F.lit(127.0)).cast("int")
+    )
+    return df.where(n > 0).withColumn(out_col, codes)
+
+
+def int8_dot_expr(a, b) -> F.Column:
+    """Integer dot product of two code arrays. Integer addition is
+    associative-exact, so the fold order cannot matter — unlike the
+    float path, this score is partition/engine-invariant by
+    construction (max |score| <= dim * 127^2, far inside bigint)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x * y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def int8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Quantized inner-product top-k: quantize both sides, broadcast
+    the (small) query codes, score with the INTEGER dot, rank per
+    query by (score desc, id asc). Approximate vs float cosine only
+    through the quantization (<= ~1% rank perturbation at dim 64; the
+    recall floor vs `brute_force_topk` is pinned in tests) — given the
+    codes, the result is exact and deterministic.
+
+    Output: (query_id, id, score, rank) with score the raw integer
+    dot (cosine ~= score / 127^2)."""
+    c = quantize_int8(corpus, vec_col, "codes").select(id_col, "codes")
+    q = quantize_int8(queries, query_vec_col, "qcodes").select(
+        query_id_col, "qcodes"
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        int8_dot_expr(F.col("qcodes"), F.col("codes")).alias("score"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "score", "rank")
+    )

@@ -644,3 +644,54 @@ def test_word_shingle_rows_udf_expr_parity(spark, docs):
             ).collect()
         }
         assert fast == expr and len(fast) > 0
+
+
+def test_int8_quantize_matches_numpy_twin(spark):
+    rng = np.random.default_rng(11)
+    emb = rng.standard_normal((50, 16)).astype(np.float32)
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": np.arange(50, dtype=np.int64), "embedding": list(map(list, emb))})
+    )
+    got = {
+        r["vec_id"]: r["codes"]
+        for r in similarity.quantize_int8(df).collect()
+    }
+    for i in range(50):
+        x = emb[i].astype(np.float64)
+        # sequential fold norm, like the engine expression
+        acc = 0.0
+        for v in x:
+            acc += v * v
+        want = [int(np.floor(v / np.sqrt(acc) * 127.0 + 0.5)) if v >= 0
+                else -int(np.floor(-v / np.sqrt(acc) * 127.0 + 0.5)) for v in x]
+        assert got[i] == want, i
+    # codes bounded by construction
+    assert all(all(-127 <= c <= 127 for c in cs) for cs in got.values())
+
+
+def test_int8_topk_recall_vs_float(spark):
+    rng = np.random.default_rng(12)
+    emb = rng.standard_normal((300, 32)).astype(np.float32)
+    corpus = spark.createDataFrame(
+        pd.DataFrame({"vec_id": np.arange(300, dtype=np.int64), "embedding": list(map(list, emb))})
+    )
+    queries = spark.createDataFrame(
+        pd.DataFrame({"query_id": np.arange(5, dtype=np.int64),
+                      "query_vec": [emb[i].tolist() for i in range(5)]})
+    )
+    exact = similarity.brute_force_topk(corpus, queries, k=5)
+    quant = similarity.int8_topk(corpus, queries, k=5)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    q = {(r["query_id"], r["vec_id"]) for r in quant.collect()}
+    # int8 at dim 32 perturbs ranks only marginally: >= 80% recall@5,
+    # and the self-vector (cosine 1.0) must stay the top-1
+    assert len(e & q) / len(e) >= 0.8
+    top1 = {r["query_id"]: r["vec_id"] for r in quant.collect() if r["rank"] == 1}
+    assert top1 == {i: i for i in range(5)}
+
+
+def test_int8_zero_vectors_dropped(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [1, 2], "embedding": [[0.0, 0.0], [1.0, 0.0]]})
+    )
+    assert [r["vec_id"] for r in similarity.quantize_int8(df).collect()] == [2]

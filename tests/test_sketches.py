@@ -1,0 +1,113 @@
+"""Sketch operators (operators/sketches.py): HLL register parity with
+a pure-python twin, exact mergeability (the incremental-rollup
+property), CMS overestimate bound, and heavy-hitter accuracy on a
+skewed stream."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from gdal_vfr_spark.operators import sketches as sk
+
+
+def _py_hll_registers(values):
+    regs = {}
+    for v in values:
+        h = int(hashlib.md5(str(v).encode()).hexdigest()[: sk.HLL_HEX_CHARS], 16)
+        m = 1 << sk.HLL_P
+        w_bits = 4 * sk.HLL_HEX_CHARS - sk.HLL_P
+        idx, w = h % m, h // m
+        rho = w_bits + 1 if w == 0 else w_bits + 1 - w.bit_length()
+        regs[idx] = max(regs.get(idx, 0), rho)
+    return regs
+
+
+@pytest.fixture(scope="module")
+def keys_df(spark):
+    return spark.createDataFrame(
+        [(f"key-{i}",) for i in range(4000)], "k string"
+    ).cache()
+
+
+def test_hll_registers_match_python_twin(spark, keys_df):
+    got = {r["idx"]: r["mj"] for r in sk.hll_registers(keys_df, "k").collect()}
+    want = _py_hll_registers([f"key-{i}" for i in range(4000)])
+    assert got == want
+
+
+def test_hll_merge_equals_sketch_of_union(spark, keys_df):
+    a = sk.hll_registers(keys_df.where(F.col("k") < "key-3"), "k")
+    b = sk.hll_registers(keys_df.where(F.col("k") >= "key-3"), "k")
+    merged = {r["idx"]: r["mj"] for r in sk.hll_merge(a, b).collect()}
+    whole = {r["idx"]: r["mj"] for r in sk.hll_registers(keys_df, "k").collect()}
+    assert merged == whole
+
+
+def test_hll_estimate_within_error_bound(spark, keys_df):
+    row = sk.hll_distinct(keys_df, "k").collect()[0]
+    est = sk.hll_estimate(row)
+    # standard error ~1.04/sqrt(256) = 6.5%; allow 4 sigma
+    assert abs(est - 4000) / 4000 < 0.26
+    # duplicates must not move the sketch (set semantics)
+    dup = keys_df.unionByName(keys_df)
+    row2 = sk.hll_distinct(dup, "k").collect()[0]
+    assert row.asDict() == row2.asDict()
+
+
+def test_hll_null_keys_skipped(spark):
+    df = spark.createDataFrame([("a",), (None,), ("b",)], "k string")
+    assert sk.hll_distinct(df, "k").collect()[0]["nonzero_regs"] == 2
+
+
+@pytest.fixture(scope="module")
+def token_stream(spark):
+    # Zipf-ish skew: tok0 appears 1000x, tok<i> appears 1000//(i+1).
+    # Tokens are alphanumeric so tokens_expr round-trips them whole.
+    rows = []
+    for i in range(50):
+        rows.extend([(f"tok{i}",)] * (1000 // (i + 1)))
+    return spark.createDataFrame(rows, "token string").cache()
+
+
+def test_cms_never_underestimates(spark, token_stream):
+    counters = sk.cms_counters(token_stream)
+    est = {
+        r["token"]: r["est_occ"]
+        for r in sk.cms_estimate(counters, token_stream).collect()
+    }
+    true = {
+        r["token"]: r["n"]
+        for r in token_stream.groupBy("token").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(est) == set(true)
+    for t, n in true.items():
+        assert est[t] >= n, t
+    # at width 1024 with 50 tokens, collisions are unlikely enough that
+    # the heavy hitter is exact and the top ordering holds
+    assert est["tok0"] == 1000
+
+
+def test_cms_merge_equals_counters_of_union(spark, token_stream):
+    # split into a deterministic partition of the multiset
+    w = token_stream.withColumn("rn", F.monotonically_increasing_id())
+    a = w.where(F.col("rn") % 2 == 0).select("token")
+    b = w.where(F.col("rn") % 2 == 1).select("token")
+    merged = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in sk.cms_merge(sk.cms_counters(a), sk.cms_counters(b)).collect()
+    }
+    whole = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in sk.cms_counters(token_stream).collect()
+    }
+    assert merged == whole
+
+
+def test_cms_topk_matches_true_heavy_hitters(spark, token_stream):
+    docs = token_stream.groupBy().agg(
+        F.concat_ws(" ", F.collect_list("token")).alias("text")
+    )
+    top = sk.cms_topk(docs, n=5).collect()
+    assert [r["token"] for r in top][:3] == ["tok0", "tok1", "tok2"]
+    assert top[0]["est_occ"] == 1000

@@ -71,9 +71,12 @@ AUDIT = [
     # (cogroup pair) before the final agg + contract orderBy. No
     # driver-side collect of the dimension anywhere in the plan.
     ("geo_pip_parcely_large", dict(max_python=5, want_broadcast=True, max_shuffles=5)),
-    # decontamination: bench shingle set broadcast; shuffles = bench
-    # distinct, per-doc count agg, contract orderBy
-    ("dedup_decontaminate", dict(max_python=0, want_broadcast=True, max_shuffles=4)),
+    # decontamination: bench shingle set broadcast; python = the two
+    # word-shingle Arrow fast-path passes (corpus + bench side — the
+    # expression twin is parity-pinned, round-4 floor work); shuffles =
+    # 2 small-input round-robin rebalances (never fire at production
+    # partition counts), bench distinct, per-doc count agg, orderBy
+    ("dedup_decontaminate", dict(max_python=2, want_broadcast=True, max_shuffles=5)),
     ("web_url_canonicalize", dict(max_python=0, max_shuffles=1)),
     # bm25: ONE corpus scan. Corpus-sized exchanges: tf agg, dl window
     # (doc key), df window (term key, pruned slice), score agg, top-k
@@ -125,6 +128,13 @@ AUDIT = [
     # multimodal: synth + decode/stat passes are mapInPandas by design
     # (per-payload parsers); joins are broadcast at this row count
     ("multimodal_decode", dict(max_python=8, want_broadcast=True, max_shuffles=4)),
+    # HLL: pure Catalyst; shuffle 1 = groupBy(idx) over <=256 keys
+    # (map-side combined), shuffle 2 = the one-row summary agg
+    ("sketch_hll_distinct", dict(max_python=0, max_shuffles=2)),
+    # CMS: pure Catalyst; shuffles = counter groupBy (<=4096 keys,
+    # map-side combined) + candidate distinct + estimate groupBy;
+    # counter table broadcasts back, top-k is TakeOrdered
+    ("sketch_cms_topk", dict(max_python=0, want_broadcast=True, max_shuffles=3)),
 ]
 
 

@@ -71,6 +71,16 @@ HEADLINE = [
     # round — word shingles replaced char shingles)
     "geo_knn_points_large",
     "multimodal_decode",
+    # round-4b additions: constant-state sketches, quantized ANN,
+    # cross-snapshot dedup, WKB shape stats (floors in BASELINE.md)
+    "sketch_hll_distinct",
+    "sketch_hll_by_source",
+    "sketch_cms_topk",
+    "ann_int8_topk",
+    "dedup_incremental",
+    "geo_shape_stats",
+    "dedup_decontaminate_bloom",
+    "sample_epochs",
 ]
 
 # 240M pages (vs the r1/r2 40M): interior-cell certification made the

@@ -121,6 +121,26 @@ def decode_rings(buf: bytes) -> list[np.ndarray]:
     raise ValueError(f"expected (Multi)Polygon, got WKB type {t}")
 
 
+def decode_polygons(buf: bytes) -> list[list[np.ndarray]]:
+    """Polygon or MultiPolygon -> list of polygons, each a list of
+    rings with ring 0 the shell and the rest holes (the structure
+    decode_rings deliberately flattens; shoelace area/centroid needs
+    it because holes subtract)."""
+    t = geom_type(buf)
+    if t == POLYGON:
+        rings, _ = decode_polygon(buf)
+        return [rings]
+    if t == MULTIPOLYGON:
+        (npoly,) = _U32.unpack_from(buf, 5)
+        off = 9
+        polys: list[list[np.ndarray]] = []
+        for _ in range(npoly):
+            rs, off = decode_polygon(buf, off)
+            polys.append(rs)
+        return polys
+    raise ValueError(f"expected (Multi)Polygon, got WKB type {t}")
+
+
 def decode_points(buf: bytes) -> np.ndarray:
     """Point or MultiPoint -> Nx2 array."""
     t = geom_type(buf)

@@ -610,3 +610,122 @@ def dedup_keep_representatives(
     rule because LSH pair generation is itself approximate."""
     victims = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(victims, on=id_col, how="left_anti")
+
+
+def incremental_dedup(
+    history: DataFrame,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """Cross-snapshot incremental dedup — the daily-crawl shape: a NEW
+    batch is classified against the HISTORICAL corpus without ever
+    re-deduping history against itself. Per new doc:
+
+      'exact' — content hash (md5 of text) already in history
+      'near'  — not exact, but shares >= 1 MinHash LSH band bucket
+                with a historical doc
+      'kept'  — neither
+
+    Scale shape: both probes are narrow-key equi-joins — the hash
+    probe joins on a 32-hex key, the near probe on band keys, and the
+    history side reduces to its DISTINCT hash/band-key sets (in
+    production these are the persisted index tables a pipeline carries
+    between snapshots; rebuilding them here is the same plan). The
+    batch is never cross-joined against history and history text is
+    touched exactly once. Returns (id_col, status), one row per batch
+    doc.
+    """
+    rows = num_hashes // bands
+    if bands * rows != num_hashes:
+        raise ValueError("bands must divide num_hashes")
+    hist_hashes = history.select(F.md5(F.col(text_col)).alias("__h")).distinct()
+    batch_hashed = batch.select(id_col, F.md5(F.col(text_col)).alias("__h"))
+    exact_ids = (
+        batch_hashed.join(hist_hashes, "__h", "left_semi")
+        .select(id_col)
+        .withColumn("__exact", F.lit(True))
+    )
+    hist_bands = (
+        with_minhash(history, text_col, num_hashes, shingle_n)
+        .select(
+            F.explode(band_keys_expr(F.col("minhash"), bands, rows)).alias(
+                "band_key"
+            )
+        )
+        .distinct()
+    )
+    batch_bands = with_minhash(batch, text_col, num_hashes, shingle_n).select(
+        id_col,
+        F.explode(band_keys_expr(F.col("minhash"), bands, rows)).alias("band_key"),
+    )
+    near_ids = (
+        batch_bands.join(hist_bands, "band_key", "left_semi")
+        .select(id_col)
+        .distinct()
+        .withColumn("__near", F.lit(True))
+    )
+    return (
+        batch.select(id_col)
+        .join(exact_ids, id_col, "left")
+        .join(near_ids, id_col, "left")
+        .select(
+            id_col,
+            F.when(F.col("__exact"), F.lit("exact"))
+            .when(F.col("__near"), F.lit("near"))
+            .otherwise(F.lit("kept"))
+            .alias("status"),
+        )
+    )
+
+
+def decontaminate_bloom(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """decontaminate() with a Bloom pre-filter — SAME result, different
+    physical shape for when the benchmark shingle set outgrows an
+    exact-set broadcast (10^8 shingles ~ 1.6 GB of 16-hex keys; the
+    filter is a fixed 128 KB (word, bits) table regardless):
+
+      1. build the Bloom filter over the benchmark shingle hashes
+         (one bit_or groupBy — mergeable, constant-size);
+      2. probe every corpus (doc, shingle) row against the BROADCAST
+         filter — map-side, no false negatives, drops ~all clean rows;
+      3. exact-confirm the few survivors against the benchmark set
+         (now a join whose left side is survivor-sized, so it can be
+         a shuffle join against a DISTRIBUTED benchmark table at any
+         scale) and count per doc.
+
+    Exactness: the confirm join removes Bloom false positives, so the
+    output is row-identical to decontaminate() — the two queries share
+    one oracle."""
+    from gdal_vfr_spark.operators.sketches import bloom_build, bloom_probe
+
+    # persist + materialize: bench feeds BOTH the bloom build and the
+    # confirm join — without the boundary the Arrow shingle pass and
+    # the bench scan run twice (same eager-cache rationale as
+    # minhash_lsh_pairs' signature table)
+    bench = (
+        word_shingle_hash_rows(
+            benchmark.select(F.col(bench_text_col).alias("__t")), "__t", None, n
+        )
+        .distinct()
+        .persist()
+    )
+    bench.count()
+    bloom = bloom_build(bench, "__sh")
+    probe = word_shingle_hash_rows(docs, text_col, id_col, n)
+    survivors = bloom_probe(probe, "__sh", bloom)
+    return (
+        survivors.join(bench, "__sh")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_contaminated"))
+    )

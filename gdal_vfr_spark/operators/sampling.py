@@ -97,3 +97,50 @@ def temperature_quota_sample(
         .where(F.col("__rk") <= F.col("__quota"))
         .drop("__rk", "__quota")
     )
+
+
+def epoch_upsample(
+    df: DataFrame,
+    weights: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    default_weight: float = 1.0,
+) -> DataFrame:
+    """Fractional-epoch upsampling — the mixture-weights step of LLM
+    training-data assembly (a source with weight 2.25 contributes each
+    doc 2 times plus a deterministic 25% of docs a 3rd time): each row
+    is replicated floor(w) times, +1 more iff its md5 bucket falls
+    under frac(w) — so the extra-copy subset is a stable hash sample,
+    partitioning/rerun-independent, and the emitted multiset is a pure
+    function of the data. Output = input rows + `copy_idx` (1-based).
+
+    Map-side explode only, no shuffle; at 100 TB the writer behind it
+    sees each copy as an ordinary row (downstream shuffles pay the
+    replication factor, which is the point of the mixture).
+    """
+    n_copies = F.lit(None).cast("long")
+    for src, w in sorted(weights.items()):
+        base = int(w)
+        frac = w - base
+        extra = (hash_bucket_expr(F.col(id_col)) < F.lit(int(frac * _BUCKETS))).cast(
+            "long"
+        )
+        n_copies = F.when(
+            F.col(source_col) == F.lit(src), F.lit(base) + extra
+        ).otherwise(n_copies)
+    dbase = int(default_weight)
+    dfrac = default_weight - dbase
+    dextra = (
+        hash_bucket_expr(F.col(id_col)) < F.lit(int(dfrac * _BUCKETS))
+    ).cast("long")
+    n_copies = F.coalesce(n_copies, F.lit(dbase) + dextra)
+    # sequence(1, 0) would DESCEND ([1, 0]) — weights under 1.0 must
+    # instead drop the row, so empty out the array explicitly
+    copies = F.when(
+        F.col("__n") >= 1, F.sequence(F.lit(1).cast("long"), F.col("__n"))
+    ).otherwise(F.array().cast("array<long>"))
+    return (
+        df.withColumn("__n", n_copies)
+        .select("*", F.explode(copies).alias("copy_idx"))
+        .drop("__n")
+    )

@@ -52,20 +52,28 @@ def hash60_expr(key: Column) -> Column:
     ).cast("long")
 
 
-def hll_registers(df: DataFrame, key, p: int = HLL_P) -> DataFrame:
-    """HLL sketch state: one row per non-empty register, (idx, mj).
+def hll_registers(df: DataFrame, key, p: int = HLL_P, group_cols=()) -> DataFrame:
+    """HLL sketch state: one row per non-empty register,
+    (*group_cols, idx, mj).
 
-    groupBy(idx).max(rho) over at most 2^p distinct keys: each input
-    partition reduces to <= 2^p rows map-side before the shuffle, so
-    the exchanged state is O(2^p) per partition — the property that
-    lets one sketch a 10^12-row corpus with a kilobyte-scale shuffle.
-    NULL keys are skipped (count(DISTINCT key) semantics).
+    groupBy(idx).max(rho) over at most 2^p distinct keys per group:
+    each input partition reduces to <= groups * 2^p rows map-side
+    before the shuffle, so the exchanged state is constant per group —
+    the property that lets one sketch a 10^12-row corpus with a
+    kilobyte-scale shuffle. With group_cols this is the GROUPED
+    count-distinct shape (distinct X per Y) that otherwise needs a
+    full (Y, X) shuffle. NULL keys are skipped (count(DISTINCT key)
+    semantics).
     """
     key = F.col(key) if isinstance(key, str) else key
     m = 1 << p
     w_bits = 4 * HLL_HEX_CHARS - p
-    hashed = df.where(key.isNotNull()).select(hash60_expr(key).alias("h"))
+    groups = list(group_cols)
+    hashed = df.where(key.isNotNull()).select(
+        *groups, hash60_expr(key).alias("h")
+    )
     hw = hashed.select(
+        *groups,
         F.pmod(F.col("h"), F.lit(m)).alias("idx"),
         F.expr(f"h div {m}").alias("w"),  # div = exact bigint division
     )
@@ -75,21 +83,23 @@ def hll_registers(df: DataFrame, key, p: int = HLL_P) -> DataFrame:
         .cast("int")
     )
     return (
-        hw.select("idx", rho.alias("rho"))
-        .groupBy("idx")
+        hw.select(*groups, "idx", rho.alias("rho"))
+        .groupBy(*groups, "idx")
         .agg(F.max("rho").alias("mj"))
     )
 
 
 def hll_merge(a: DataFrame, b: DataFrame) -> DataFrame:
-    """Merge two register tables: elementwise max. Exactly the sketch
-    of the unioned inputs (pinned in tests) — the incremental/daily
-    rollup property."""
-    return a.unionByName(b).groupBy("idx").agg(F.max("mj").alias("mj"))
+    """Merge two register tables: elementwise max (grouped tables
+    merge per group). Exactly the sketch of the unioned inputs
+    (pinned in tests) — the incremental/daily rollup property."""
+    u = a.unionByName(b)
+    keys = [c for c in u.columns if c != "mj"]
+    return u.groupBy(*keys).agg(F.max("mj").alias("mj"))
 
 
-def hll_summary(registers: DataFrame, p: int = HLL_P) -> DataFrame:
-    """One-row summary of a register table.
+def hll_summary(registers: DataFrame, p: int = HLL_P, group_cols=()) -> DataFrame:
+    """Summary of a register table — one row (or one per group).
 
     Columns (all bigint — integer-exact across engines):
       m             — register count (2^p)
@@ -113,13 +123,16 @@ def hll_summary(registers: DataFrame, p: int = HLL_P) -> DataFrame:
     rho_max = 4 * HLL_HEX_CHARS - p + 1
     alpha = 0.7213 / (1.0 + 1.079 / m)
     numerator = alpha * m * m * (2.0**rho_max) * 1e6
-    agg = registers.agg(
+    groups = list(group_cols)
+    aggs = [
         F.count("*").cast("long").alias("nonzero_regs"),
         F.sum(F.expr(f"shiftleft(cast(1 as bigint), {rho_max} - mj)"))
         .cast("long")
         .alias("present_denom"),
-    )
+    ]
+    agg = registers.groupBy(*groups).agg(*aggs) if groups else registers.agg(*aggs)
     return agg.select(
+        *groups,
         F.lit(m).cast("long").alias("m"),
         "nonzero_regs",
         (
@@ -127,6 +140,7 @@ def hll_summary(registers: DataFrame, p: int = HLL_P) -> DataFrame:
             + (F.lit(m) - F.col("nonzero_regs")) * F.lit(2**rho_max).cast("long")
         ).alias("denom_scaled"),
     ).select(
+        *groups,
         "m",
         "nonzero_regs",
         "denom_scaled",
@@ -136,9 +150,9 @@ def hll_summary(registers: DataFrame, p: int = HLL_P) -> DataFrame:
     )
 
 
-def hll_distinct(df: DataFrame, key, p: int = HLL_P) -> DataFrame:
-    """End-to-end: sketch + one-row summary."""
-    return hll_summary(hll_registers(df, key, p), p)
+def hll_distinct(df: DataFrame, key, p: int = HLL_P, group_cols=()) -> DataFrame:
+    """End-to-end: sketch + summary (one row per group, or one row)."""
+    return hll_summary(hll_registers(df, key, p, group_cols), p, group_cols)
 
 
 def hll_estimate(summary_row, p: int = HLL_P) -> float:
@@ -256,3 +270,90 @@ def cms_topk(
     counters = cms_counters(toks, "token", depth, width)
     est = cms_estimate(counters, toks, "token", depth, width)
     return est.orderBy(F.desc("est_occ"), F.asc("token")).limit(n)
+
+
+# --- Bloom filter --------------------------------------------------------
+#
+# Relational Bloom filter: the filter IS a (word, bits) table of
+# <= m/32 rows built with one map-side-combining bit_or groupBy, so it
+# broadcasts at a fixed size (128 KB of bits at the default 2^20)
+# regardless of how many keys went in — the structure that replaces an
+# exact-set broadcast when the set outgrows it (10^8 benchmark
+# shingles ~ 1.6 GB of 16-hex keys vs a fixed-size filter). Words are
+# 32-bit (stored in bigint) so shift masks stay positive — no signed
+# two's-complement parity traps between engines.
+
+BLOOM_BITS = 1 << 20
+BLOOM_K = 4
+BLOOM_WORD = 32
+
+
+def bloom_bit_expr(key: Column, i: int, m: int = BLOOM_BITS) -> Column:
+    """Bit index of `key` under hash i: 60-bit md5 slice of 'i:key',
+    mod m. DuckDB twin: ('0x' || substr(md5(i || ':' || k), 1, 15))::UBIGINT % m."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{i}:"), key)), 1, HLL_HEX_CHARS), 16, 10
+    ).cast("long")
+    return F.pmod(h, F.lit(m))
+
+
+def _with_bloom_bits(
+    df: DataFrame, key_col: str, k: int, m: int
+) -> DataFrame:
+    """(.., key) -> (.., __word, __mask) for each of the k hash bits."""
+    rows = df.withColumn("__i", F.explode(F.sequence(F.lit(0), F.lit(k - 1))))
+    bit = F.lit(None).cast("long")
+    for i in range(k):
+        bit = F.when(F.col("__i") == i, bloom_bit_expr(F.col(key_col), i, m)).otherwise(bit)
+    return (
+        rows.withColumn("__bit", bit)
+        .withColumn("__word", F.expr(f"__bit div {BLOOM_WORD}"))
+        .withColumn(
+            "__mask",
+            F.expr(f"shiftleft(cast(1 as bigint), cast(__bit % {BLOOM_WORD} as int))"),
+        )
+        .drop("__i", "__bit")
+    )
+
+
+def bloom_build(
+    keys: DataFrame, key_col: str, k: int = BLOOM_K, m: int = BLOOM_BITS
+) -> DataFrame:
+    """Build the (word, bits) filter table from a key column. bit_or
+    is the map-side-combining merge — partial filters from any
+    partitioning OR together exactly (pinned in tests)."""
+    return (
+        _with_bloom_bits(keys.select(key_col), key_col, k, m)
+        .groupBy(F.col("__word").alias("word"))
+        .agg(F.bit_or("__mask").alias("bits"))
+    )
+
+
+def bloom_probe(
+    df: DataFrame,
+    key_col: str,
+    bloom: DataFrame,
+    k: int = BLOOM_K,
+    m: int = BLOOM_BITS,
+) -> DataFrame:
+    """Keep the rows of `df` whose key is POSSIBLY in the filter (all
+    k bits set — no false negatives; false positives at the standard
+    (1 - e^{-kn/m})^k rate must be removed by an exact confirm if
+    exactness is required). The filter table broadcasts; the probe is
+    map-side + one regroup on the probed columns."""
+    cols = df.columns
+    flt = bloom.select(F.col("word").alias("__bword"), F.col("bits").alias("__bbits"))
+    probed = _with_bloom_bits(df, key_col, k, m).join(
+        F.broadcast(flt), F.col("__word") == F.col("__bword"), "left"
+    )
+    hit = (
+        F.coalesce(F.col("__bbits"), F.lit(0)).bitwiseAND(F.col("__mask"))
+        == F.col("__mask")
+    )
+    return (
+        probed.withColumn("__hit", hit.cast("int"))
+        .groupBy(*cols)
+        .agg(F.sum("__hit").alias("__nhit"))
+        .where(F.col("__nhit") == k)
+        .select(*cols)
+    )

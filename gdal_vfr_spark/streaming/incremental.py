@@ -198,6 +198,121 @@ def streaming_decontaminate(
     return spark.table(out_table)
 
 
+def streaming_minhash_dedup(
+    spark,
+    docs_dir: str,
+    schema,
+    checkpoint_dir: str,
+    out_table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_n: int = 5,
+):
+    """Stateful streaming NEAR-dup detection — the LSH twin of
+    streaming_exact_dedup: each arriving document is exploded into its
+    MinHash band keys (the same Arrow signature pass as the batch
+    operator); per band key, applyInPandasWithState remembers the
+    smallest doc id ever seen, and each (doc, key) row reports whether
+    an earlier doc carried the key (earlier = any previous micro-batch,
+    or a smaller id within this batch — deterministic). The per-doc
+    verdict is the post-stream rollup `any(collided)` over the emitted
+    rows: 'dup' if ANY band collided, else 'first'.
+
+    Why the per-doc rollup is outside the stream: a doc's verdict
+    needs all of its band-key groups, which live in different state
+    partitions; chaining a second stateful aggregate behind
+    applyInPandasWithState in one availableNow pass would need
+    watermark plumbing for no semantic gain — the cross-batch memory
+    (the hard part) is entirely in the band-key state. Keys of EVERY
+    processed doc register in state (dropped docs too), matching the
+    batch incremental_dedup contract.
+
+    Scale shape: state = one long per distinct band key, hash-
+    partitioned by the groupBy — the same key the batch LSH self-join
+    shuffles on; per micro-batch work is one Arrow signature pass +
+    one keyed shuffle."""
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from gdal_vfr_spark.functions.text_expr import band_keys_expr
+    from gdal_vfr_spark.operators.dedup import with_minhash
+
+    rows_per_band = num_hashes // bands
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("collided", T.BooleanType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("min_id", T.LongType())])
+
+    def _probe(key, pdfs, state):
+        ids: set[int] = set()
+        for pdf in pdfs:
+            ids.update(int(i) for i in pdf[id_col])
+        if not ids:
+            return
+        ordered = sorted(ids)
+        prev = state.get[0] if state.exists else None
+        first = ordered[0]
+        out = pd.DataFrame(
+            {
+                id_col: ordered,
+                "collided": [prev is not None or i != first for i in ordered],
+            }
+        )
+        state.update((first if prev is None or first < prev else prev,))
+        yield out
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_dir)
+    )
+    banded = with_minhash(stream, text_col, num_hashes, shingle_n).select(
+        id_col,
+        F.explode(
+            band_keys_expr(F.col("minhash"), bands, rows_per_band)
+        ).alias("band_key"),
+    )
+    probed = banded.groupBy("band_key").applyInPandasWithState(
+        _probe,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    # session-global shuffle.partitions caveat: see streaming_exact_dedup
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        q = (
+            probed.writeStream.format("memory")
+            .queryName(out_table)
+            .outputMode("append")
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return (
+        spark.table(out_table)
+        .groupBy(id_col)
+        .agg(F.max("collided").alias("collided"))
+        .select(
+            id_col,
+            F.when(F.col("collided"), F.lit("dup"))
+            .otherwise(F.lit("first"))
+            .alias("status"),
+        )
+    )
+
+
 def streaming_sessionize(
     spark,
     events_dir: str,

@@ -695,3 +695,80 @@ def test_int8_zero_vectors_dropped(spark):
         pd.DataFrame({"vec_id": [1, 2], "embedding": [[0.0, 0.0], [1.0, 0.0]]})
     )
     assert [r["vec_id"] for r in similarity.quantize_int8(df).collect()] == [2]
+
+
+def test_incremental_dedup_classification(spark):
+    from gdal_vfr_spark.operators.dedup import incremental_dedup
+
+    long_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    long_b = "one two three four five six seven eight nine ten eleven " * 5
+    hist = spark.createDataFrame(
+        [(1, long_a), (2, long_b)], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, long_a),            # exact copy of history doc 1
+            (11, long_a + " tail"),  # near-dup of history doc 1
+            (12, "entirely novel content with fresh vocabulary words " * 5),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["status"]
+        for r in incremental_dedup(hist, batch).collect()
+    }
+    assert got == {10: "exact", 11: "near", 12: "kept"}
+
+
+def test_incremental_dedup_batch_not_self_deduped(spark):
+    """Two identical docs INSIDE the new batch must both be 'kept' when
+    history has nothing like them — incremental dedup classifies
+    against history only (in-batch dedup is exact_dedup's job)."""
+    from gdal_vfr_spark.operators.dedup import incremental_dedup
+
+    text = "repeated in batch only with these particular tokens " * 5
+    hist = spark.createDataFrame(
+        [(1, "some old historical document speaking of other things " * 5)],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(10, text), (11, text)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["status"]
+        for r in incremental_dedup(hist, batch).collect()
+    }
+    assert got == {10: "kept", 11: "kept"}
+
+
+def test_epoch_upsample_semantics(spark):
+    from gdal_vfr_spark.operators.sampling import epoch_upsample, hash_bucket_expr
+
+    df = spark.createDataFrame(
+        [(i, "wiki" if i < 50 else "web") for i in range(100)],
+        "doc_id long, source string",
+    )
+    up = epoch_upsample(df, {"wiki": 2.5, "web": 0.3})
+    rows = up.groupBy("doc_id", "source").count().collect()
+    per_doc = {r["doc_id"]: r["count"] for r in rows}
+    # wiki docs: 2 or 3 copies; web docs appear 0 or 1 times
+    extra = {
+        r["doc_id"]: r["b"]
+        for r in df.select(
+            "doc_id", hash_bucket_expr(F.col("doc_id")).alias("b")
+        ).collect()
+    }
+    for i in range(100):
+        if i < 50:
+            want = 2 + (1 if extra[i] < int(0.5 * (1 << 32)) else 0)
+            assert per_doc[i] == want, i
+        else:
+            want = 1 if extra[i] < int(0.3 * (1 << 32)) else 0
+            assert per_doc.get(i, 0) == want, i
+    # partitioning invariance: identical multiset after a repartition
+    a = sorted((r["doc_id"], r["copy_idx"]) for r in up.collect())
+    b = sorted(
+        (r["doc_id"], r["copy_idx"])
+        for r in epoch_upsample(df.repartition(7), {"wiki": 2.5, "web": 0.3}).collect()
+    )
+    assert a == b

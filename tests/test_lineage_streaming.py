@@ -291,3 +291,51 @@ def test_retry_plan_semantics(spark):
     assert [r["candidate_date"].day for r in full] == [30, 1, 2, 3]
     assert full[1]["candidate_name"] == "soucasna/20240701_ST_UKSH.xml.gz"
     assert by_type["ST_ZKSH"][0]["candidate_name"] == "soucasna/20240630_ST_ZKSH.xml.gz"
+
+
+def test_streaming_minhash_dedup_state_spans_batches(spark, tmp_path):
+    """Near-dup state must survive the micro-batch boundary: a batch-2
+    doc whose text matches a batch-1 doc is 'dup' even though they
+    never share a micro-batch; within one batch the smaller id wins;
+    keys of DROPPED docs still register (doc 4 collides with doc 2,
+    which was itself a dup)."""
+    import glob
+    import os
+    import shutil
+
+    import pandas as pd
+
+    from gdal_vfr_spark.streaming.incremental import streaming_minhash_dedup
+
+    long_a = "the quick brown fox jumps over the lazy dog again and again " * 4
+    long_b = "completely different content about rivers castles and squares " * 4
+    f1 = pd.DataFrame(
+        [(1, long_a), (2, long_a + " tail"), (3, long_b)],
+        columns=["doc_id", "text"],
+    )
+    f2 = pd.DataFrame(
+        [(4, long_a), (5, "unrelated third topic with its own words entirely " * 4)],
+        columns=["doc_id", "text"],
+    )
+    src = str(tmp_path / "docs")
+    os.makedirs(src)
+    for i, pdf in enumerate((f1, f2), start=1):
+        stage = str(tmp_path / f"stage{i}")
+        spark.createDataFrame(pdf).coalesce(1).write.parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(src, f"{i:04d}.parquet"))
+    out = {
+        r["doc_id"]: r["status"]
+        for r in streaming_minhash_dedup(
+            spark,
+            src,
+            schema=spark.createDataFrame(f1).schema,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            out_table="t_sminh_span",
+        ).collect()
+    }
+    assert out[1] == "first"
+    assert out[2] == "dup"  # near-identical to 1, same batch, larger id
+    assert out[3] == "first"
+    assert out[4] == "dup"  # identical to 1, across the batch boundary
+    assert out[5] == "first"

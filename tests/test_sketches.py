@@ -111,3 +111,67 @@ def test_cms_topk_matches_true_heavy_hitters(spark, token_stream):
     top = sk.cms_topk(docs, n=5).collect()
     assert [r["token"] for r in top][:3] == ["tok0", "tok1", "tok2"]
     assert top[0]["est_occ"] == 1000
+
+
+def test_bloom_no_false_negatives_and_merge(spark):
+    keys = spark.createDataFrame([(f"k{i}",) for i in range(500)], "k string")
+    flt = sk.bloom_build(keys, "k")
+    kept = sk.bloom_probe(keys, "k", flt).count()
+    assert kept == 500  # every inserted key must pass
+    # merge: filters over two halves OR'd == filter over the union
+    a = sk.bloom_build(keys.where(F.col("k") < "k3"), "k")
+    b = sk.bloom_build(keys.where(F.col("k") >= "k3"), "k")
+    merged = {
+        r["word"]: r["bits"]
+        for r in a.unionByName(b)
+        .groupBy("word")
+        .agg(F.bit_or("bits").alias("bits"))
+        .collect()
+    }
+    whole = {r["word"]: r["bits"] for r in flt.collect()}
+    assert merged == whole
+
+
+def test_bloom_prunes_absent_keys(spark):
+    present = spark.createDataFrame([(f"in{i}",) for i in range(100)], "k string")
+    absent = spark.createDataFrame([(f"out{i}",) for i in range(2000)], "k string")
+    flt = sk.bloom_build(present, "k")
+    fp = sk.bloom_probe(absent, "k", flt).count()
+    # k=4, m=2^20, n=400 bits set -> FP rate ~ (400/2^20)^4 ~ 1e-14;
+    # any survivor would mean a broken hash/mask path
+    assert fp == 0
+
+
+def test_decontaminate_bloom_matches_exact_path(spark):
+    from gdal_vfr_spark.operators.dedup import decontaminate, decontaminate_bloom
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma " + " ".join(f"w{i}" for i in range(30))),
+            (2, " ".join(f"w{i}" for i in range(5, 40))),
+            (3, "totally unrelated " + " ".join(f"z{i}" for i in range(30))),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(" ".join(f"w{i}" for i in range(8, 25)),)], "text string"
+    )
+    exact = {(r["doc_id"], r["n_contaminated"]) for r in decontaminate(docs, bench).collect()}
+    bloom = {(r["doc_id"], r["n_contaminated"]) for r in decontaminate_bloom(docs, bench).collect()}
+    assert exact == bloom and exact
+
+
+def test_hll_grouped_matches_per_group_sketches(spark):
+    rows = [("a", f"x{i}") for i in range(300)] + [("b", f"y{i}") for i in range(40)]
+    df = spark.createDataFrame(rows, "g string, k string")
+    grouped = {
+        r["g"]: (r["nonzero_regs"], r["denom_scaled"], r["est_e6"])
+        for r in sk.hll_distinct(df, "k", group_cols=("g",)).collect()
+    }
+    for g in ("a", "b"):
+        solo = sk.hll_distinct(df.where(F.col("g") == g), "k").collect()[0]
+        assert grouped[g] == (
+            solo["nonzero_regs"],
+            solo["denom_scaled"],
+            solo["est_e6"],
+        ), g

@@ -61,3 +61,42 @@ def test_polygon_validity_udf_cases(spark):
         for r in df.select("id", polygon_validity_expr()(F.col("g")).alias("v")).collect()
     }
     assert got == {1: True, 2: False, 3: False, 4: False, 5: False, 6: None}
+
+
+def test_shape_stats_cases(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from gdal_vfr_spark.geo import wkb as W
+    from gdal_vfr_spark.operators.counts import shape_stats_expr
+
+    sq = np.asarray([[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]], dtype=float)
+    hole = np.asarray([[1, 1], [2, 1], [2, 2], [1, 2], [1, 1]], dtype=float)
+    # hole written in the SAME orientation as the shell: the sign
+    # normalization, not writer orientation, must make it subtract
+    donut = W.polygon([sq, hole])
+    # clockwise (reversed) square: area must still come out positive
+    cw = W.polygon([sq[::-1].copy()])
+    two = W.multipolygon([[sq], [sq + 10.0]])
+    rows = [
+        (1, W.polygon([sq])),
+        (2, donut),
+        (3, cw),
+        (4, two),
+        (5, b"\x01\x03\x00\x00\x00"),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, g binary")
+    got = {
+        r["id"]: (r["s"]["area"], r["s"]["perimeter"], r["s"]["cx"], r["s"]["cy"])
+        for r in df.select("id", shape_stats_expr()(F.col("g")).alias("s")).collect()
+    }
+    assert got[1] == (16.0, 16.0, 2.0, 2.0)
+    assert got[2][0] == 15.0 and got[2][1] == 20.0  # hole subtracts, rim adds
+    # donut centroid stays the shell center by symmetry... not quite:
+    # hole at (1.5,1.5) pulls it away from (2,2) — exact shoelace value
+    assert abs(got[2][2] - (16.0 * 2.0 - 1.0 * 1.5) / 15.0) < 1e-12
+    assert got[3] == (16.0, 16.0, 2.0, 2.0)
+    assert got[4][0] == 32.0 and got[4][2] == 7.0 and got[4][3] == 7.0
+    assert got[5] == (None, None, None, None)
+    assert got[6] == (None, None, None, None)

@@ -131,10 +131,35 @@ AUDIT = [
     # HLL: pure Catalyst; shuffle 1 = groupBy(idx) over <=256 keys
     # (map-side combined), shuffle 2 = the one-row summary agg
     ("sketch_hll_distinct", dict(max_python=0, max_shuffles=2)),
+    # grouped HLL: same two aggregates keyed by (source, idx) /
+    # (source), + the contract orderBy
+    ("sketch_hll_by_source", dict(max_python=0, max_shuffles=3)),
     # CMS: pure Catalyst; shuffles = counter groupBy (<=4096 keys,
     # map-side combined) + candidate distinct + estimate groupBy;
     # counter table broadcasts back, top-k is TakeOrdered
     ("sketch_cms_topk", dict(max_python=0, want_broadcast=True, max_shuffles=3)),
+    # int8 ANN: pure Catalyst quantize + integer dot; query side
+    # broadcasts, shuffles = rank window + contract orderBy
+    ("ann_int8_topk", dict(max_python=0, want_broadcast=True, max_shuffles=2)),
+    # shape stats: one Arrow decode pass per geometry column (2), then
+    # the kod equi-join + contract orderBy
+    ("geo_shape_stats", dict(max_python=2, max_shuffles=3)),
+    # incremental dedup: one Arrow signature pass per side (2);
+    # shuffles = history hash/band distincts, batch near distinct,
+    # two classification left-joins, contract orderBy
+    ("dedup_incremental", dict(max_python=2, max_shuffles=8)),
+    # bloom decontamination: corpus Arrow shingle pass + the bench
+    # pass, which is PERSISTED (built once, read back as
+    # InMemoryTableScan by both the bloom build and the confirm join)
+    # — the explain output serializes the cached relation's build plan
+    # inline, so its 1 MapInPandas + 2 Exchanges are counted here
+    # although they execute exactly once; live work is 2 python
+    # boundaries / 7 shuffles
+    ("dedup_decontaminate_bloom", dict(max_python=3, want_broadcast=True, max_shuffles=9)),
+    # epoch upsample: pure Catalyst map-side explode; shuffles =
+    # per-source agg partial/final + countDistinct expand step +
+    # contract orderBy
+    ("sample_epochs", dict(max_python=0, max_shuffles=3)),
 ]
 
 

@@ -1602,6 +1602,55 @@ def q_stream_minhash_dedup(spark, sf_dir):
     return out.orderBy("doc_id")
 
 
+_STTL_SEQ = [0]
+_STTL_BASE_US = 1704067200000000  # 2024-01-01 UTC in microseconds
+_STTL_BATCH_US = 10 * 86400 * 1_000_000  # 10-day terciles
+_STTL_TTL_MS = 5 * 86400 * 1000  # 5-day state TTL
+
+
+def q_stream_first_per_ttl(spark, sf_dir):
+    """§2.10 — streaming keyed throttle with EVENT-TIME STATE EXPIRY
+    (applyInPandasWithState + GroupStateTimeout.EventTimeTimeout, the
+    bounded-state form of streaming dedup): events arrive in three
+    10-day micro-batches; each user's first event emits, later events
+    are suppressed while the state lives, and a state whose user sent
+    nothing in batch 2 EXPIRES there if the watermark passed its
+    emission + 5-day TTL — that user's batch-3 event emits AGAIN.
+    Exact oracle: the watermark/timeout recurrence unrolled over the
+    three batches at Spark's millisecond precision."""
+    _ensure_shipped(spark)
+    import glob
+    import shutil
+
+    from gdal_vfr_spark.streaming.incremental import streaming_first_per_ttl
+
+    events = _read(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    # parquet timestamps read as TIMESTAMP_NTZ; the session is pinned
+    # UTC so the cast is the identity wall-clock mapping
+    tercile = F.expr(
+        f"least((unix_micros(cast(ts as timestamp)) - {_STTL_BASE_US})"
+        f" div {_STTL_BATCH_US}, 2)"
+    )
+    tmp = _tile_store_dir(prefix="gvs_sttl_")
+    src = os.path.join(tmp, "events")
+    os.makedirs(src)
+    for i in range(3):
+        stage = os.path.join(tmp, f"stage{i}")
+        events.where(tercile == i).coalesce(1).write.parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(src, f"{i + 1:04d}.parquet"))
+    _STTL_SEQ[0] += 1
+    out = streaming_first_per_ttl(
+        spark,
+        src,
+        schema=events.schema,
+        checkpoint_dir=os.path.join(tmp, "ckpt"),
+        out_table=f"stream_ttl_{_STTL_SEQ[0]}",
+        ttl_ms=_STTL_TTL_MS,
+    )
+    return out.orderBy("user_id", "emit_ms")
+
+
 _SDECON_SEQ = [0]
 
 
@@ -2953,15 +3002,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      rounds;
     #   3. queries with a green r03 row, at the back (their rows live
     #      in CORRECTNESS_r03.json, committed).
-    # Round-4b overflow: group (1) grew to 20, so seven group-(2)
-    # entries no longer fit the 50-row window (stream_window_counts,
-    # stream_pip_counts, skew_salted_join, p1_layer_select,
-    # p5_list_downgrade, f7_regex_extract, p6_align_schema). All
-    # seven were re-verified by the round-3 judge's bare-session
-    # oracle run, so they carry the freshest out-of-window evidence;
-    # skew_salted_join/stream twins of in-window queries share
-    # machinery with rows that DO land this round. They go first in
-    # group (2) next round.
+    # Round-4b overflow: group (1) grew to 21, so eight group-(2)
+    # entries no longer fit the 50-row window (skew_salted_count,
+    # stream_window_counts, stream_pip_counts, skew_salted_join,
+    # p1_layer_select, p5_list_downgrade, f7_regex_extract,
+    # p6_align_schema). All eight were re-verified by the round-3
+    # judge's bare-session oracle run, so they carry the freshest
+    # out-of-window evidence, and the skew/stream entries share
+    # machinery with queries that DO land driver rows this round.
+    # They go first in group (2) next round.
     return {
         # --- (1) new/changed in round 4 ---
         "m1_mode_dispatch": q_m1_mode_dispatch,
@@ -2984,7 +3033,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_minhash_dedup": q_stream_minhash_dedup,
         "dedup_decontaminate_bloom": q_dedup_decontaminate_bloom,
         "sample_epochs": q_sample_epochs,
-        # (group-1 ends here — 20 entries; see the overflow note above)
+        "stream_first_per_ttl": q_stream_first_per_ttl,
+        # (group-1 ends here — 21 entries; see the overflow note above)
         # --- (2) newest driver row is r01/r02 ---
         "w_tumbling_hour": q_w_tumbling_hour,
         "geo_pip_counts": q_geo_pip_counts,
@@ -3356,6 +3406,42 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY md5(text) ORDER BY doc_id
         """,
         "dedup_minhash_lsh": _duck_minhash_sql() + " ORDER BY id_a, id_b",
+        "stream_first_per_ttl": f"""
+            WITH e AS (
+              SELECT user_id, event_id, epoch_us(ts) // 1000 AS ms,
+                     least((epoch_us(ts) - {_STTL_BASE_US}) // {_STTL_BATCH_US}, 2) AS b
+              FROM events
+            ),
+            wm AS (SELECT max(ms) - 1000 AS wm2 FROM e WHERE b = 0),
+            ranked AS (
+              SELECT user_id, event_id, ms, b,
+                     row_number() OVER (
+                       PARTITION BY user_id, b ORDER BY ms, event_id) AS rn,
+                     min(ms) OVER (PARTITION BY user_id, b) AS bmin_ms
+              FROM e
+            ),
+            agg AS (
+              SELECT user_id,
+                     bool_or(b = 0) AS d1, bool_or(b = 1) AS d2,
+                     bool_or(b = 2) AS d3,
+                     min(CASE WHEN b = 0 THEN ms END) AS t1_ms
+              FROM e GROUP BY user_id
+            ),
+            emits AS (
+              SELECT r.user_id, r.event_id, r.bmin_ms AS emit_ms, r.b
+              FROM ranked r JOIN agg a USING (user_id), wm
+              WHERE r.rn = 1 AND (
+                 (r.b = 0)
+                 OR (r.b = 1 AND NOT a.d1)
+                 OR (r.b = 2 AND NOT (a.d2 AND NOT a.d1)   -- live state from a b2 emission
+                     AND (NOT a.d1                          -- never emitted in b1
+                          OR (NOT a.d2                      -- b1 state with no b2 data...
+                              AND wm.wm2 > a.t1_ms + {_STTL_TTL_MS})))  -- ...expired at b2
+              )
+            )
+            SELECT user_id, event_id, CAST(emit_ms AS BIGINT) AS emit_ms
+            FROM emits ORDER BY user_id, emit_ms
+        """,
         "stream_minhash_dedup": f"""
             WITH {_duck_sig_bands_cte()},
             b AS (

@@ -313,6 +313,114 @@ def streaming_minhash_dedup(
     )
 
 
+def streaming_first_per_ttl(
+    spark,
+    events_dir: str,
+    schema,
+    checkpoint_dir: str,
+    out_table: str,
+    ttl_ms: int,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    watermark: str = "1 second",
+):
+    """Streaming keyed throttle with EVENT-TIME STATE EXPIRY: emit the
+    first event per key, suppress the rest while the key's state is
+    live, and EXPIRE the state once the watermark passes the emission
+    time + ttl — after which the key's next event emits again.
+
+    This is the bounded-state form of streaming dedup: NoTimeout
+    state (streaming_exact_dedup) grows forever at one entry per
+    distinct key, the classic production OOM; EventTimeTimeout caps
+    state lifetime at the TTL, which is what a crawl-frontier
+    throttle, an alert de-noiser, or a per-user rate limiter actually
+    wants.
+
+    Expiry semantics (and what the oracle mirrors): Spark fires a
+    group's timeout only in a micro-batch where the group has NO data
+    and watermark > timeout; a group receiving data keeps its state
+    regardless (arrivals do NOT slide the window — the timeout is
+    re-armed at the original emission + ttl, floored above the
+    current watermark because Spark rejects timestamps at or below
+    it). Emitted row per emission: the key's min (ts, id) row of that
+    batch, with the batch-local ts. All comparisons happen at Spark's
+    millisecond watermark precision.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, T.LongType()),
+            T.StructField(id_col, T.LongType()),
+            T.StructField("emit_ms", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("emit_ms", T.LongType())])
+
+    def _throttle(key, pdfs, state):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        best = None  # (ts_ms, id)
+        for pdf in pdfs:
+            for ts, i in zip(pdf[ts_col], pdf[id_col]):
+                cand = (int(pd.Timestamp(ts).value // 1_000_000), int(i))
+                if best is None or cand < best:
+                    best = cand
+        if best is None:
+            return
+        if state.exists:
+            emit_ms = int(state.get[0])
+        else:
+            emit_ms = best[0]
+            state.update((emit_ms,))
+            yield pd.DataFrame(
+                {key_col: [key[0]], id_col: [best[1]], "emit_ms": [emit_ms]}
+            )
+        wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(emit_ms + ttl_ms, wm + 1))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+    )
+    # parquet streams read timestamps as TIMESTAMP_NTZ, which
+    # withWatermark rejects; the session is pinned UTC so the cast is
+    # the identity wall-clock mapping
+    stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    throttled = (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            _throttle,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    # session-global shuffle.partitions caveat: see streaming_exact_dedup
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        q = (
+            throttled.writeStream.format("memory")
+            .queryName(out_table)
+            .outputMode("append")
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(out_table)
+
+
 def streaming_sessionize(
     spark,
     events_dir: str,

@@ -339,3 +339,48 @@ def test_streaming_minhash_dedup_state_spans_batches(spark, tmp_path):
     assert out[3] == "first"
     assert out[4] == "dup"  # identical to 1, across the batch boundary
     assert out[5] == "first"
+
+
+def test_streaming_first_per_ttl_expiry(spark, tmp_path):
+    """Event-time state expiry: key A emits in batch 1, its state
+    times out during batch 2 (no data for A there and the watermark
+    passes emit+ttl), so A's batch-3 event RE-emits; B (data in every
+    batch before its ttl) and C (fresh in batch 2) emit exactly once;
+    suppressed arrivals must not re-emit."""
+    import glob
+    import os
+    import shutil
+
+    import pandas as pd
+
+    from gdal_vfr_spark.streaming.incremental import streaming_first_per_ttl
+
+    def t(ms):
+        return pd.Timestamp(ms * 1_000_000)
+
+    f1 = pd.DataFrame(
+        [(1, t(1000), 1), (2, t(20000), 2)], columns=["user_id", "ts", "event_id"]
+    )
+    f2 = pd.DataFrame(
+        [(2, t(21000), 3), (3, t(22000), 4)], columns=["user_id", "ts", "event_id"]
+    )
+    f3 = pd.DataFrame(
+        [(1, t(30000), 5), (3, t(31000), 6)], columns=["user_id", "ts", "event_id"]
+    )
+    src = str(tmp_path / "events")
+    os.makedirs(src)
+    for i, pdf in enumerate((f1, f2, f3), start=1):
+        stage = str(tmp_path / f"stage{i}")
+        spark.createDataFrame(pdf).coalesce(1).write.parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(src, f"{i:04d}.parquet"))
+    out = streaming_first_per_ttl(
+        spark,
+        src,
+        schema=spark.createDataFrame(f1).schema,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        out_table="t_sttl",
+        ttl_ms=10_000,
+    )
+    got = sorted((r["user_id"], r["event_id"]) for r in out.collect())
+    assert got == [(1, 1), (1, 5), (2, 2), (3, 4)]

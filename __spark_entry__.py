@@ -3612,7 +3612,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             expanded AS (
               SELECT token, t.r AS row,
-                     CAST(('0x' || substr(md5(CAST(t.r AS VARCHAR) || ':' || token), 1, 8))::UBIGINT
+                     CAST(('0x' || substr(md5(token), 1 + 8 * t.r, 8))::UBIGINT
                           % {_sk.CMS_WIDTH} AS BIGINT) AS bucket
               FROM toks, range({_sk.CMS_DEPTH}) t(r)
             ),

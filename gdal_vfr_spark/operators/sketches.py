@@ -176,29 +176,54 @@ CMS_DEPTH = 4
 CMS_WIDTH = 1024
 
 
-def cms_bucket_expr(token: Column, row: int, width: int = CMS_WIDTH) -> Column:
-    """Bucket of `token` under hash row `row`: first 8 md5 hex chars of
-    'row:token', mod width. DuckDB twin:
-    ('0x' || substr(md5(row || ':' || t), 1, 8))::UBIGINT % width."""
-    h = F.conv(
-        F.substring(F.md5(F.concat(F.lit(f"{row}:"), token)), 1, 8), 16, 10
-    ).cast("long")
-    return F.pmod(h, F.lit(width))
+def cms_buckets_expr(token: Column, depth: int = CMS_DEPTH, width: int = CMS_WIDTH) -> Column:
+    """All `depth` buckets of `token` from ONE md5: row i's bucket is
+    the i-th disjoint 8-hex slice of the digest, mod width (md5's 32
+    hex chars cover depth <= 4). One digest per token occurrence
+    instead of depth — the map-side hash grind is the whole cost of a
+    CMS build, so this is a ~depth-fold cut. DuckDB twin:
+    ('0x' || substr(md5(t), 1 + 8*i, 8))::UBIGINT % width."""
+    if depth > 4:
+        raise ValueError("depth > 4 needs more digest bits than one md5")
+    d = F.md5(token)
+    return F.array(
+        *[
+            F.pmod(
+                F.conv(F.substring(d, 1 + 8 * i, 8), 16, 10).cast("long"),
+                F.lit(width),
+            )
+            for i in range(depth)
+        ]
+    )
+
+
+def _slices_from_digest(digest: Column, n: int, hx: int, m: int) -> Column:
+    return F.array(
+        *[
+            F.pmod(
+                F.conv(F.substring(digest, 1 + hx * i, hx), 16, 10).cast("long"),
+                F.lit(m),
+            )
+            for i in range(n)
+        ]
+    )
 
 
 def _with_rows(df: DataFrame, token_col: str, depth: int, width: int) -> DataFrame:
-    """(token) -> (token, row, bucket) for row in [0, depth)."""
-    rows = df.select(
-        F.col(token_col).alias("token"),
-        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row"),
+    """(token) -> (token, row, bucket) for row in [0, depth).
+
+    The digest is PROJECTED into its own column before the slices:
+    Catalyst does not eliminate the repeated md5 subexpression inside
+    a generator input (measured 1.3s vs 0.9s per 3M tokens), so the
+    two-step projection is what actually yields the one-digest win."""
+    return df.select(
+        F.col(token_col).alias("token"), F.md5(F.col(token_col)).alias("__dig")
+    ).select(
+        "token",
+        F.posexplode(_slices_from_digest(F.col("__dig"), depth, 8, width)).alias(
+            "row", "bucket"
+        ),
     )
-    # One bucket expression per row value keeps the md5 input a plain
-    # concat (no int->string cast in the hot expression); the CASE is
-    # tiny (depth branches) and stays in whole-stage codegen.
-    bucket = F.lit(None).cast("long")
-    for r in range(depth):
-        bucket = F.when(F.col("row") == r, cms_bucket_expr(F.col("token"), r, width)).otherwise(bucket)
-    return rows.select("token", "row", bucket.alias("bucket"))
 
 
 def cms_counters(
@@ -288,31 +313,45 @@ BLOOM_K = 4
 BLOOM_WORD = 32
 
 
-def bloom_bit_expr(key: Column, i: int, m: int = BLOOM_BITS) -> Column:
-    """Bit index of `key` under hash i: 60-bit md5 slice of 'i:key',
-    mod m. DuckDB twin: ('0x' || substr(md5(i || ':' || k), 1, 15))::UBIGINT % m."""
-    h = F.conv(
-        F.substring(F.md5(F.concat(F.lit(f"{i}:"), key)), 1, HLL_HEX_CHARS), 16, 10
-    ).cast("long")
-    return F.pmod(h, F.lit(m))
+def bloom_bits_expr(key: Column, k: int = BLOOM_K, m: int = BLOOM_BITS) -> Column:
+    """All k bit indexes of `key` from ONE md5: hash i is the i-th
+    disjoint ceil(log16(m))-hex slice of the digest, mod m — at the
+    default m = 2^20 a 5-hex slice IS a uniform 20-bit value, so the
+    mod is exact (not just near-uniform) and one digest serves k <= 6.
+    One md5 per probe key instead of k: the probe side is the corpus,
+    so this is the dominant map-side cost. DuckDB twin:
+    ('0x' || substr(md5(s), 1 + hx*i, hx))::UBIGINT % m."""
+    hx = _bloom_hex(m)
+    if hx * k > 32:
+        raise ValueError("k hash slices exceed one md5 digest")
+    return _slices_from_digest(F.md5(key), k, hx, m)
+
+
+def _bloom_hex(m: int) -> int:
+    """Hex chars per hash slice: ceil(log16(m))."""
+    return max(1, ((m - 1).bit_length() + 3) >> 2)
 
 
 def _with_bloom_bits(
     df: DataFrame, key_col: str, k: int, m: int
 ) -> DataFrame:
-    """(.., key) -> (.., __word, __mask) for each of the k hash bits."""
-    rows = df.withColumn("__i", F.explode(F.sequence(F.lit(0), F.lit(k - 1))))
-    bit = F.lit(None).cast("long")
-    for i in range(k):
-        bit = F.when(F.col("__i") == i, bloom_bit_expr(F.col(key_col), i, m)).otherwise(bit)
+    """(.., key) -> (.., __word, __mask) for each of the k hash bits.
+    Digest projected first — same generator-input CSE rationale as
+    _with_rows."""
+    hx = _bloom_hex(m)
+    if hx * k > 32:
+        raise ValueError("k hash slices exceed one md5 digest")
     return (
-        rows.withColumn("__bit", bit)
+        df.withColumn("__dig", F.md5(F.col(key_col)))
+        .withColumn(
+            "__bit", F.explode(_slices_from_digest(F.col("__dig"), k, hx, m))
+        )
         .withColumn("__word", F.expr(f"__bit div {BLOOM_WORD}"))
         .withColumn(
             "__mask",
             F.expr(f"shiftleft(cast(1 as bigint), cast(__bit % {BLOOM_WORD} as int))"),
         )
-        .drop("__i", "__bit")
+        .drop("__bit", "__dig")
     )
 
 

@@ -2567,6 +2567,20 @@ def q_sketch_hll_by_source(spark, sf_dir):
     )
 
 
+def q_sketch_histogram(spark, sf_dir):
+    """Mergeable log2-bin histogram per source (the distribution
+    member of the sketch family): bin = bitlength(n_chars), counts per
+    (source, bin) — constant state (<= 64 bins per group), map-side
+    combined, integer-exact via the same bin() identity as the HLL
+    rank. Percentiles come off the collected table driver-side."""
+    from gdal_vfr_spark.operators import sketches
+
+    docs = _read(spark, sf_dir, "documents")
+    return sketches.log2_histogram(
+        docs, "n_chars", group_cols=("source",)
+    ).orderBy("source", "bin")
+
+
 def q_sketch_cms_topk(spark, sf_dir):
     """Count-Min heavy hitters over the corpus token stream
     (operators/sketches.py): 4x1024 counter table from one map-side-
@@ -3002,15 +3016,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      rounds;
     #   3. queries with a green r03 row, at the back (their rows live
     #      in CORRECTNESS_r03.json, committed).
-    # Round-4b overflow: group (1) grew to 21, so eight group-(2)
-    # entries no longer fit the 50-row window (skew_salted_count,
-    # stream_window_counts, stream_pip_counts, skew_salted_join,
-    # p1_layer_select, p5_list_downgrade, f7_regex_extract,
-    # p6_align_schema). All eight were re-verified by the round-3
-    # judge's bare-session oracle run, so they carry the freshest
-    # out-of-window evidence, and the skew/stream entries share
-    # machinery with queries that DO land driver rows this round.
-    # They go first in group (2) next round.
+    # Round-4b overflow: group (1) grew to 22, so nine group-(2)
+    # entries no longer fit the 50-row window (stream_dedup,
+    # skew_salted_count, stream_window_counts, stream_pip_counts,
+    # skew_salted_join, p1_layer_select, p5_list_downgrade,
+    # f7_regex_extract, p6_align_schema). All nine were re-verified by
+    # the round-3 judge's bare-session oracle run, so they carry the
+    # freshest out-of-window evidence, and the skew/stream entries
+    # share machinery with queries that DO land driver rows this
+    # round. They go first in group (2) next round.
     return {
         # --- (1) new/changed in round 4 ---
         "m1_mode_dispatch": q_m1_mode_dispatch,
@@ -3026,6 +3040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_decontaminate": q_dedup_decontaminate,
         "sketch_hll_distinct": q_sketch_hll_distinct,
         "sketch_hll_by_source": q_sketch_hll_by_source,
+        "sketch_histogram": q_sketch_histogram,
         "sketch_cms_topk": q_sketch_cms_topk,
         "ann_int8_topk": q_ann_int8_topk,
         "geo_shape_stats": q_geo_shape_stats,
@@ -3034,7 +3049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_decontaminate_bloom": q_dedup_decontaminate_bloom,
         "sample_epochs": q_sample_epochs,
         "stream_first_per_ttl": q_stream_first_per_ttl,
-        # (group-1 ends here — 21 entries; see the overflow note above)
+        # (group-1 ends here — 22 entries; see the overflow note above)
         # --- (2) newest driver row is r01/r02 ---
         "w_tumbling_hour": q_w_tumbling_hour,
         "geo_pip_counts": q_geo_pip_counts,
@@ -3605,6 +3620,13 @@ def oracle_sql() -> dict[str, str]:
                         + ({_hll_m} - nonzero_regs) * (1::BIGINT << {_hll_rho_max})
                         AS DOUBLE)) AS BIGINT) AS est_e6
             FROM s ORDER BY source
+        """,
+        "sketch_histogram": """
+            SELECT source,
+                   CAST(CASE WHEN n_chars <= 0 THEN 0
+                             ELSE length(bin(n_chars)) END AS INT) AS bin,
+                   count(*) AS n
+            FROM documents GROUP BY 1, 2 ORDER BY source, bin
         """,
         "sketch_cms_topk": f"""
             WITH toks AS (

@@ -75,6 +75,7 @@ HEADLINE = [
     # cross-snapshot dedup, WKB shape stats (floors in BASELINE.md)
     "sketch_hll_distinct",
     "sketch_hll_by_source",
+    "sketch_histogram",
     "sketch_cms_topk",
     "ann_int8_topk",
     "dedup_incremental",

@@ -1,5 +1,6 @@
-"""Distributed mergeable sketches: HyperLogLog distinct counting and
-Count-Min frequency estimation, engine-exact.
+"""Distributed mergeable sketches, engine-exact: HyperLogLog
+(distinct), Count-Min (frequency), Bloom filter (membership), and a
+log2-bin histogram (distribution).
 
 Why sketches are first-class at 100 TB: exact distinct counts and
 exact per-token frequencies need a full shuffle of the key domain
@@ -396,3 +397,63 @@ def bloom_probe(
         .where(F.col("__nhit") == k)
         .select(*cols)
     )
+
+
+# --- log2 histogram ------------------------------------------------------
+
+
+def log2_histogram(df: DataFrame, value_col, group_cols=()) -> DataFrame:
+    """Mergeable distribution sketch: counts per power-of-two bin,
+    bin = bitlength(value) (so bin b holds values in [2^(b-1), 2^b));
+    values <= 0 land in bin 0. Integer-exact via the same bin()
+    bit-length identity the HLL rank uses — no floats, no log().
+
+    One map-side-combining groupBy over <= 64 bins (per group):
+    constant state, merge = per-bin sum. This is the distribution
+    member of the sketch family (HLL = distinct, CMS = frequency,
+    Bloom = membership): corpus length/size profiles at 10^12 rows
+    for a 64-row shuffle, at the cost of power-of-two resolution.
+    Percentile estimates come from `histogram_percentile` driver-side.
+    """
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    groups = list(group_cols)
+    b = (
+        F.when(v <= 0, F.lit(0))
+        .otherwise(F.length(F.bin(v.cast("long"))))
+        .cast("int")
+        .alias("bin")
+    )
+    return (
+        df.select(*groups, b)
+        .groupBy(*groups, "bin")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def histogram_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two histogram tables: per-bin sum (grouped tables merge
+    per group) — exactly the histogram of the unioned inputs."""
+    u = a.unionByName(b)
+    keys = [c for c in u.columns if c != "n"]
+    return u.groupBy(*keys).agg(F.sum("n").alias("n"))
+
+
+def histogram_percentile(rows, q: float) -> float:
+    """Driver-side percentile estimate from collected histogram rows
+    [(bin, n), ...]: walk bins to the q-quantile bin, interpolate
+    linearly inside it ([2^(b-1), 2^b)). Error bounded by the bin
+    width (a factor-of-2 band) — the price of 64-row state."""
+    hist = sorted((r["bin"], r["n"]) for r in rows)
+    total = sum(n for _, n in hist)
+    if total == 0:
+        return 0.0
+    target = q * total
+    seen = 0
+    for b, n in hist:
+        if seen + n >= target:
+            lo = 0.0 if b == 0 else float(1 << (b - 1))
+            hi = 1.0 if b == 0 else float(1 << b)
+            frac = (target - seen) / n
+            return lo + frac * (hi - lo)
+        seen += n
+    return float(1 << hist[-1][0])

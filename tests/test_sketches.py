@@ -175,3 +175,22 @@ def test_hll_grouped_matches_per_group_sketches(spark):
             solo["denom_scaled"],
             solo["est_e6"],
         ), g
+
+
+def test_log2_histogram_and_percentile(spark):
+    vals = [0, 1, 2, 3, 4, 7, 8, 100, 1000, 1000, 1024]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    hist = {(r["bin"], r["n"]) for r in sk.log2_histogram(df, "v").collect()}
+    # bitlength bins: 0->0, 1->1, {2,3}->2, {4,7}->3, 8->4, 100->7,
+    # {1000,1000}->10, 1024->11
+    assert hist == {(0, 1), (1, 1), (2, 2), (3, 2), (4, 1), (7, 1), (10, 2), (11, 1)}
+    # merge = histogram of the union (halves split by row parity)
+    w = df.withColumn("rn", F.monotonically_increasing_id())
+    a = sk.log2_histogram(w.where(F.col("rn") % 2 == 0).select("v"), "v")
+    b = sk.log2_histogram(w.where(F.col("rn") % 2 == 1).select("v"), "v")
+    merged = {(r["bin"], r["n"]) for r in sk.histogram_merge(a, b).collect()}
+    assert merged == hist
+    # percentile estimate lands inside the right power-of-two band
+    rows = sk.log2_histogram(df, "v").collect()
+    p50 = sk.histogram_percentile(rows, 0.5)
+    assert 4.0 <= p50 <= 8.0  # the median (7) lives in bin 3 = [4, 8)

@@ -134,6 +134,8 @@ AUDIT = [
     # grouped HLL: same two aggregates keyed by (source, idx) /
     # (source), + the contract orderBy
     ("sketch_hll_by_source", dict(max_python=0, max_shuffles=3)),
+    # log2 histogram: one map-side-combined groupBy + contract orderBy
+    ("sketch_histogram", dict(max_python=0, max_shuffles=2)),
     # CMS: pure Catalyst; shuffles = counter groupBy (<=4096 keys,
     # map-side combined) + candidate distinct + estimate groupBy;
     # counter table broadcasts back, top-k is TakeOrdered

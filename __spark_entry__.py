@@ -2003,6 +2003,18 @@ def q_text_quality(spark, sf_dir):
     return text_ops.with_quality(docs).select("doc_id", "quality").orderBy("doc_id")
 
 
+def q_text_repetition(spark, sf_dir):
+    """Gopher-style repetition filter profile (Rae et al. 2021 §A1.1
+    semantics class, re-expressed): per-doc INTEGER char budgets for
+    the most-covering word 2-gram and for duplicated 5-grams, plus
+    the integer-cross-multiplied keep verdict — no float fractions,
+    so the oracle is exact. One corpus scan (tagged single explode of
+    {1,2,5}-grams), two keyed shuffles
+    (operators/text.py:repetition_stats)."""
+    docs = _read(spark, sf_dir, "documents")
+    return text_ops.repetition_stats(docs).orderBy("doc_id")
+
+
 def q_text_pii_scrub(spark, sf_dir):
     """PII scrubbing (email/phone redaction) — the fixture corpus
     carries no PII, so the query synthesizes deterministic PII-bearing
@@ -3016,11 +3028,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      rounds;
     #   3. queries with a green r03 row, at the back (their rows live
     #      in CORRECTNESS_r03.json, committed).
-    # Round-4b overflow: group (1) grew to 22, so nine group-(2)
-    # entries no longer fit the 50-row window (stream_dedup,
+    # Round-4b overflow: group (1) grew to 23, so ten group-(2)
+    # entries no longer fit the 50-row window (stream_change_merge,
+    # stream_dedup,
     # skew_salted_count, stream_window_counts, stream_pip_counts,
     # skew_salted_join, p1_layer_select, p5_list_downgrade,
-    # f7_regex_extract, p6_align_schema). All nine were re-verified by
+    # f7_regex_extract, p6_align_schema). All ten were re-verified by
     # the round-3 judge's bare-session oracle run, so they carry the
     # freshest out-of-window evidence, and the skew/stream entries
     # share machinery with queries that DO land driver rows this
@@ -3049,7 +3062,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_decontaminate_bloom": q_dedup_decontaminate_bloom,
         "sample_epochs": q_sample_epochs,
         "stream_first_per_ttl": q_stream_first_per_ttl,
-        # (group-1 ends here — 22 entries; see the overflow note above)
+        "text_repetition": q_text_repetition,
+        # (group-1 ends here — 23 entries; see the overflow note above)
         # --- (2) newest driver row is r01/r02 ---
         "w_tumbling_hour": q_w_tumbling_hour,
         "geo_pip_counts": q_geo_pip_counts,
@@ -3541,6 +3555,44 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(list_slice(toks, token_start + 1,
                      token_start + least(40, n - token_start)), ' ') AS chunk_text
             FROM e ORDER BY doc_id, token_start
+        """,
+        "text_repetition": f"""
+            WITH w AS (
+              SELECT doc_id, {_duck_tokens('text')} AS w FROM documents
+            ),
+            ex AS (
+              SELECT doc_id, 1 AS n, unnest(w) AS gram FROM w
+              UNION ALL
+              SELECT doc_id, 2 AS n,
+                     unnest(CASE WHEN len(w) >= 2
+                       THEN list_transform(range(1, len(w)),
+                              i -> array_to_string(w[i:i+1], ' '))
+                       ELSE [] END) AS gram FROM w
+              UNION ALL
+              SELECT doc_id, 5 AS n,
+                     unnest(CASE WHEN len(w) >= 5
+                       THEN list_transform(range(1, len(w) - 3),
+                              i -> array_to_string(w[i:i+4], ' '))
+                       ELSE [] END) AS gram FROM w
+            ),
+            c AS (
+              SELECT doc_id, n, count(*) AS cnt,
+                     count(*) * len(replace(gram, ' ', '')) AS cov
+              FROM ex GROUP BY doc_id, n, gram
+            ),
+            a AS (
+              SELECT doc_id,
+                     CAST(sum(CASE WHEN n = 1 THEN cnt END) AS BIGINT) AS n_words,
+                     CAST(sum(CASE WHEN n = 1 THEN cov END) AS BIGINT) AS word_chars,
+                     CAST(count(CASE WHEN n = 1 THEN 1 END) AS BIGINT) AS distinct_words,
+                     CAST(coalesce(max(CASE WHEN n = 2 THEN cov END), 0) AS BIGINT) AS top2_chars,
+                     CAST(coalesce(sum(CASE WHEN n = 5 AND cnt > 1 THEN cov END), 0) AS BIGINT) AS dup5_chars
+              FROM c GROUP BY doc_id
+            )
+            SELECT *, CAST(CASE WHEN top2_chars * 5 <= word_chars
+                            AND dup5_chars * 20 <= word_chars * 3
+                       THEN 1 ELSE 0 END AS INTEGER) AS keep_repetition
+            FROM a ORDER BY doc_id
         """,
         "text_vocab": f"""
             SELECT token, count(*) AS n_occ FROM (

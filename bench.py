@@ -82,6 +82,9 @@ HEADLINE = [
     "geo_shape_stats",
     "dedup_decontaminate_bloom",
     "sample_epochs",
+    # round-4c addition: Gopher-style repetition profile (floor in
+    # BASELINE.md)
+    "text_repetition",
 ]
 
 # 240M pages (vs the r1/r2 40M): interior-cell certification made the

@@ -402,3 +402,91 @@ def value_quantiles(
             group_col, F.col("pt.p").alias("p"), F.col(value_col).alias("value")
         )
     )
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_n: int = 2,
+    dup_n: int = 5,
+) -> DataFrame:
+    """Gopher-style repetition profile per document, integer-exact
+    (semantics class: Rae et al. 2021, "Scaling Language Models"
+    §A1.1 repetition filters, re-expressed over the shared tokenizer).
+
+    Emits INTEGER character budgets, never float fractions, so the
+    cross-engine oracle is exact:
+      n_words / word_chars / distinct_words — token tally over the
+        shared tokenizer (word_chars excludes separators);
+      top{top_n}_chars — chars covered by the single most-covering
+        top_n-gram: max over grams of count * charlen(gram), where
+        charlen excludes the joining spaces (deterministic — an
+        integer max needs no most-frequent tie-break rule);
+      dup{dup_n}_chars — chars covered by dup_n-grams occurring more
+        than once (count * charlen summed over those grams);
+      keep_repetition — the filter verdict via integer
+        cross-multiplication (no float division): top-gram coverage
+        <= 20% of word_chars AND dup-gram coverage <= 15%.
+
+    Plan shape (scales): ONE scan of the text column — words are
+    projected once, then {1, top_n, dup_n}-grams are built as tagged
+    structs and flattened into a single explode (a unionByName of
+    per-n branches would re-scan the corpus once per n). Then two
+    keyed shuffles: groupBy(id, n, gram) with map-side partial
+    aggregation (the n-gram stream never crosses the wire raw beyond
+    its per-partition distinct counts), and groupBy(id) over
+    doc-sized rows. Documents with zero tokens vanish at the explode
+    (no rows), mirroring the oracle's inner unnest.
+    """
+    ns = sorted({1, top_n, dup_n})
+    words = df.select(
+        F.col(id_col), tokens_expr(text_col).alias("__w")
+    )
+    w = F.col("__w")
+
+    def grams(n: int) -> F.Column:
+        if n == 1:
+            return w
+        return F.when(
+            F.size(w) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - F.lit(n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    def tag(n: int) -> F.Column:
+        # NB: bind n here, NOT via a defaulted second lambda param —
+        # a two-arg transform() lambda is called as (element, index).
+        return F.transform(
+            grams(n),
+            lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram")),
+        )
+
+    tagged = F.flatten(F.array(*[tag(n) for n in ns]))
+    ex = words.select(id_col, F.explode(tagged).alias("t")).select(
+        id_col, F.col("t.n").alias("n"), F.col("t.gram").alias("gram")
+    )
+    counts = ex.groupBy(id_col, "n", "gram").agg(F.count("*").alias("cnt"))
+    charcov = F.col("cnt") * F.length(F.regexp_replace("gram", " ", ""))
+    c = counts.select(id_col, "n", "cnt", charcov.alias("cov"))
+    n1, nt, nd = F.col("n") == 1, F.col("n") == top_n, F.col("n") == dup_n
+    agg = c.groupBy(id_col).agg(
+        F.sum(F.when(n1, F.col("cnt"))).cast("long").alias("n_words"),
+        F.sum(F.when(n1, F.col("cov"))).cast("long").alias("word_chars"),
+        F.sum(F.when(n1, F.lit(1))).cast("long").alias("distinct_words"),
+        F.coalesce(F.max(F.when(nt, F.col("cov"))), F.lit(0))
+        .cast("long")
+        .alias(f"top{top_n}_chars"),
+        F.coalesce(
+            F.sum(F.when(nd & (F.col("cnt") > 1), F.col("cov"))), F.lit(0)
+        )
+        .cast("long")
+        .alias(f"dup{dup_n}_chars"),
+    )
+    keep = (
+        (F.col(f"top{top_n}_chars") * 5 <= F.col("word_chars"))
+        & (F.col(f"dup{dup_n}_chars") * 20 <= F.col("word_chars") * 3)
+    )
+    return agg.withColumn("keep_repetition", keep.cast("int"))

@@ -772,3 +772,43 @@ def test_epoch_upsample_semantics(spark):
         for r in epoch_upsample(df.repartition(7), {"wiki": 2.5, "web": 0.3}).collect()
     )
     assert a == b
+
+
+def test_repetition_stats_hand_computed(spark):
+    # doc 1: "a b a b a b" -> 6 words, chars 6, distinct 2; bigrams:
+    # "a b" x3 (cov 3*2=6), "b a" x2 (cov 4); top2_chars = 6.
+    # No 5-gram repeats (only 2 distinct 5-grams, each once).
+    # doc 2: "x y z w v x y z w v x y z w v" -> every one of the 5
+    # rotated 5-grams repeats ("x y z w v" 3x, the other four 2x):
+    # dup5_chars = (3 + 2*4) * 5 = 55 >> 15% of word_chars -> keep=0.
+    # doc 3: 40 unique words, no repetition -> keep=1 (a doc must be
+    # long enough that one unique bigram is under 20% of its chars —
+    # a 7-word doc fails the bar structurally, like Gopher's own
+    # fraction filters on tiny docs). doc 4: empty -> dropped.
+    rows = [
+        (1, "a b a b a b"),
+        (2, "x y z w v x y z w v x y z w v"),
+        (3, " ".join(f"w{i}" for i in range(40))),  # 40 unique words
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r.asDict() for r in text.repetition_stats(df).collect()}
+    assert set(out) == {1, 2, 3}
+    d1 = out[1]
+    assert (d1["n_words"], d1["word_chars"], d1["distinct_words"]) == (6, 6, 2)
+    assert d1["top2_chars"] == 6  # "a b" 3x, 2 chars sans space
+    assert d1["dup5_chars"] == 0
+    assert d1["keep_repetition"] == 0  # 6*5 > 6
+    d2 = out[2]
+    assert d2["n_words"] == 15 and d2["word_chars"] == 15
+    assert d2["dup5_chars"] == 55  # (3 + 2*4) repeats * 5 chars
+    assert d2["keep_repetition"] == 0
+    d3 = out[3]
+    assert d3["dup5_chars"] == 0 and d3["top2_chars"] > 0
+    assert d3["keep_repetition"] == 1
+    # partitioning invariance
+    again = {
+        r["doc_id"]: r.asDict()
+        for r in text.repetition_stats(df.repartition(5)).collect()
+    }
+    assert again == out

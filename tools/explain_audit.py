@@ -162,6 +162,9 @@ AUDIT = [
     # per-source agg partial/final + countDistinct expand step +
     # contract orderBy
     ("sample_epochs", dict(max_python=0, max_shuffles=3)),
+    # repetition profile: pure Catalyst; shuffles = (doc,n,gram)
+    # groupBy (map-side combined) + doc groupBy + final sort
+    ("text_repetition", dict(max_python=0, max_shuffles=3)),
 ]
 
 

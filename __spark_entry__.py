@@ -2284,6 +2284,19 @@ def q_ann_lsh_topk(spark, sf_dir):
     )
 
 
+def q_dedup_exact_substring(spark, sf_dir):
+    """Exact-substring duplication profile (Lee et al. 2021
+    ExactSubstr semantics class): every 20-token window occurring
+    more than once anywhere in the corpus marks its span duplicated;
+    overlapping windows merge into maximal spans. One window-hash
+    shuffle + one doc-id shuffle, pure Catalyst
+    (operators/dedup.py:exact_substring_spans)."""
+    docs = _read(spark, sf_dir, "documents")
+    return dedup.exact_substring_spans(docs, window_tokens=20).orderBy(
+        "doc_id"
+    )
+
+
 def q_dedup_decontaminate(spark, sf_dir):
     """Benchmark decontamination (engine addition; no reference
     analogue — standard LLM-pipeline op): per-doc count of WORD
@@ -3028,12 +3041,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      rounds;
     #   3. queries with a green r03 row, at the back (their rows live
     #      in CORRECTNESS_r03.json, committed).
-    # Round-4b overflow: group (1) grew to 23, so ten group-(2)
-    # entries no longer fit the 50-row window (stream_change_merge,
-    # stream_dedup,
+    # Round-4b/4c overflow: group (1) grew to 24, so eleven group-(2)
+    # entries no longer fit the 50-row window (a3_change_tally,
+    # stream_change_merge, stream_dedup,
     # skew_salted_count, stream_window_counts, stream_pip_counts,
     # skew_salted_join, p1_layer_select, p5_list_downgrade,
-    # f7_regex_extract, p6_align_schema). All ten were re-verified by
+    # f7_regex_extract, p6_align_schema). All eleven were re-verified by
     # the round-3 judge's bare-session oracle run, so they carry the
     # freshest out-of-window evidence, and the skew/stream entries
     # share machinery with queries that DO land driver rows this
@@ -3063,7 +3076,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_epochs": q_sample_epochs,
         "stream_first_per_ttl": q_stream_first_per_ttl,
         "text_repetition": q_text_repetition,
-        # (group-1 ends here — 23 entries; see the overflow note above)
+        "dedup_exact_substring": q_dedup_exact_substring,
+        # (group-1 ends here — 24 entries; see the overflow note above)
         # --- (2) newest driver row is r01/r02 ---
         "w_tumbling_hour": q_w_tumbling_hour,
         "geo_pip_counts": q_geo_pip_counts,
@@ -4163,6 +4177,49 @@ def oracle_sql() -> dict[str, str]:
         # different physical strategy (Bloom prune + exact confirm),
         # so the two queries share one oracle by construction.
         "dedup_decontaminate": _DECON_ORACLE,
+        "dedup_exact_substring": f"""
+            WITH w AS (
+              SELECT doc_id, {_duck_tokens('text')} AS w FROM documents
+            ),
+            s AS (
+              SELECT doc_id, len(w) AS n_words, w,
+                     unnest(range(1, greatest(len(w) - 18, 1))) AS start
+              FROM w
+            ),
+            h AS (
+              SELECT doc_id, n_words, start,
+                     substr(md5(array_to_string(w[start:start+19], ' ')), 1, 16) AS h
+              FROM s
+            ),
+            d AS (
+              SELECT doc_id, n_words, start,
+                     count(*) OVER (PARTITION BY h) AS c
+              FROM h
+            ),
+            i AS (
+              SELECT doc_id, n_words, start,
+                     CASE WHEN start > lag(start) OVER
+                            (PARTITION BY doc_id ORDER BY start) + 19
+                          THEN 1 ELSE 0 END AS brk
+              FROM d WHERE c > 1
+            ),
+            isl AS (
+              SELECT doc_id, n_words, start,
+                     sum(brk) OVER (PARTITION BY doc_id ORDER BY start
+                                    ROWS UNBOUNDED PRECEDING) AS isl
+              FROM i
+            ),
+            g AS (
+              SELECT doc_id, n_words, isl, count(*) AS n_wins,
+                     min(start) AS s0, max(start) AS s1
+              FROM isl GROUP BY doc_id, n_words, isl
+            )
+            SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+                   CAST(count(*) AS BIGINT) AS n_dup_spans,
+                   CAST(sum(n_wins) AS BIGINT) AS n_dup_windows,
+                   CAST(sum(s1 - s0 + 20) AS BIGINT) AS dup_tokens
+            FROM g GROUP BY doc_id, n_words ORDER BY doc_id
+        """,
         "dedup_decontaminate_bloom": _DECON_ORACLE,
         "dedup_cc": f"""
             WITH RECURSIVE mh AS ({_duck_minhash_sql()}),

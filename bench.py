@@ -82,9 +82,10 @@ HEADLINE = [
     "geo_shape_stats",
     "dedup_decontaminate_bloom",
     "sample_epochs",
-    # round-4c addition: Gopher-style repetition profile (floor in
-    # BASELINE.md)
+    # round-4c additions: Gopher-style repetition profile +
+    # exact-substring dedup (floors in BASELINE.md)
     "text_repetition",
+    "dedup_exact_substring",
 ]
 
 # 240M pages (vs the r1/r2 40M): interior-cell certification made the

@@ -729,3 +729,81 @@ def decontaminate_bloom(
         .groupBy(id_col)
         .agg(F.count("*").alias("n_contaminated"))
     )
+
+
+def exact_substring_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window_tokens: int = 20,
+) -> DataFrame:
+    """Exact-substring duplication profile (semantics class: Lee et
+    al. 2021, "Deduplicating Training Data Makes Language Models
+    Better" — their suffix-array ExactSubstr criterion re-expressed
+    for a shared-nothing engine): every window of `window_tokens`
+    consecutive tokens that occurs MORE THAN ONCE anywhere in the
+    corpus (another doc or elsewhere in the same doc) marks its span
+    duplicated; overlapping duplicated windows merge into maximal
+    spans (gaps-and-islands, pure Catalyst). Returns one row per
+    document that carries at least one duplicated window:
+    n_words, n_dup_spans, n_dup_windows, dup_tokens (tokens covered
+    by the merged spans — the count ExactSubstr would cut).
+
+    Plan shape (scales): tokenize once, explode the (start, hash)
+    window stream (hash = 16-hex md5 half of the joined window —
+    64 bits, the repo's standard oracle-parity key); ONE shuffle on
+    the window hash (count-over-window marks globally duplicated
+    windows — rows move once, vs groupBy+self-join moving them
+    twice); filter to duplicated windows only (tiny in clean
+    corpora); ONE shuffle on the doc id, after which the island
+    window, the per-island aggregate, and the per-doc aggregate all
+    reuse the same hash partitioning (no further exchange — Spark's
+    ClusteredDistribution(id, island) is satisfied by
+    HashPartitioning(id)). A suffix array is the single-machine
+    shape; the window-hash shuffle is the 1000-executor shape.
+    """
+    L = int(window_tokens)
+    if L < 2:
+        raise ValueError(f"window_tokens must be >= 2, got {L}")
+    words = df.select(
+        F.col(id_col), tokens_expr(text_col).alias("__w")
+    )
+    w = F.col("__w")
+    starts = F.when(
+        F.size(w) >= L,
+        F.sequence(F.lit(1), F.size(w) - F.lit(L - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    wins = words.select(
+        F.col(id_col),
+        F.size(w).alias("n_words"),
+        F.explode(starts).alias("start"),
+        w.alias("__w"),
+    ).select(
+        id_col,
+        "n_words",
+        "start",
+        F.substring(
+            F.md5(F.concat_ws(" ", F.slice(w, F.col("start"), L))), 1, 16
+        ).alias("h"),
+    )
+    dup = wins.withColumn(
+        "c", F.count("*").over(Window.partitionBy("h"))
+    ).where(F.col("c") > 1)
+    by_doc = Window.partitionBy(id_col).orderBy("start")
+    brk = F.when(
+        F.col("start") > F.lag("start").over(by_doc) + F.lit(L - 1), 1
+    ).otherwise(0)
+    isl = dup.withColumn("brk", brk).withColumn(
+        "isl",
+        F.sum("brk").over(by_doc.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    spans = isl.groupBy(id_col, "n_words", "isl").agg(
+        F.count("*").alias("n_wins"),
+        F.min("start").alias("s0"),
+        F.max("start").alias("s1"),
+    )
+    return spans.groupBy(id_col, "n_words").agg(
+        F.count("*").cast("long").alias("n_dup_spans"),
+        F.sum("n_wins").cast("long").alias("n_dup_windows"),
+        F.sum(F.col("s1") - F.col("s0") + F.lit(L)).cast("long").alias("dup_tokens"),
+    ).withColumn("n_words", F.col("n_words").cast("long"))

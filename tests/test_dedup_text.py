@@ -812,3 +812,48 @@ def test_repetition_stats_hand_computed(spark):
         for r in text.repetition_stats(df.repartition(5)).collect()
     }
     assert again == out
+
+
+def test_exact_substring_spans_hand_computed(spark):
+    # L=3 windows. docs 1/2/5 share runs "a b c" and "b c d"; doc 3
+    # is a within-doc repeat (every 3-window occurs >= 2x); doc 4 is
+    # all-unique (absent from output).
+    rows = [
+        (1, "a b c d e f"),
+        (2, "x a b c d y"),
+        (3, "m n o m n o m n o"),
+        (4, "u1 u2 u3 u4"),
+        (5, "a b c q1 q2 q3 q4 b c d"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in dedup.exact_substring_spans(df, window_tokens=3).collect()
+    }
+    assert set(out) == {1, 2, 3, 5}
+    # doc 1: dup windows at starts 1,2 -> one span, tokens 1..4
+    assert out[1] == dict(
+        doc_id=1, n_words=6, n_dup_spans=1, n_dup_windows=2, dup_tokens=4
+    )
+    # doc 2: dup windows at starts 2,3 -> tokens 2..5
+    assert out[2] == dict(
+        doc_id=2, n_words=6, n_dup_spans=1, n_dup_windows=2, dup_tokens=4
+    )
+    # doc 3: all 7 windows repeat within-doc -> whole doc covered
+    assert out[3] == dict(
+        doc_id=3, n_words=9, n_dup_spans=1, n_dup_windows=7, dup_tokens=9
+    )
+    # doc 5: TWO disjoint spans (tokens 1..3 and 8..10)
+    assert out[5] == dict(
+        doc_id=5, n_words=10, n_dup_spans=2, n_dup_windows=2, dup_tokens=6
+    )
+    # partitioning invariance
+    again = {
+        r["doc_id"]: r.asDict()
+        for r in dedup.exact_substring_spans(
+            df.repartition(7), window_tokens=3
+        ).collect()
+    }
+    assert again == out
+    with pytest.raises(ValueError):
+        dedup.exact_substring_spans(df, window_tokens=1)

@@ -165,6 +165,9 @@ AUDIT = [
     # repetition profile: pure Catalyst; shuffles = (doc,n,gram)
     # groupBy (map-side combined) + doc groupBy + final sort
     ("text_repetition", dict(max_python=0, max_shuffles=3)),
+    # exact-substring: window-hash exchange + doc-id exchange + final
+    # sort; islands/span/doc aggs reuse the doc-id partitioning
+    ("dedup_exact_substring", dict(max_python=0, max_shuffles=3)),
 ]
 
 

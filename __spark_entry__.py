@@ -278,6 +278,49 @@ def _duck_quality_sql(src: str = "documents") -> str:
     """
 
 
+def _duck_repetition_sql(src: str = "documents") -> str:
+    """Per-doc repetition stats incl. keep_repetition (twin of
+    text.repetition_stats); no ORDER BY so it nests as a CTE."""
+    return f"""
+            WITH w AS (
+              SELECT doc_id, {_duck_tokens('text')} AS w FROM {src}
+            ),
+            ex AS (
+              SELECT doc_id, 1 AS n, unnest(w) AS gram FROM w
+              UNION ALL
+              SELECT doc_id, 2 AS n,
+                     unnest(CASE WHEN len(w) >= 2
+                       THEN list_transform(range(1, len(w)),
+                              i -> array_to_string(w[i:i+1], ' '))
+                       ELSE [] END) AS gram FROM w
+              UNION ALL
+              SELECT doc_id, 5 AS n,
+                     unnest(CASE WHEN len(w) >= 5
+                       THEN list_transform(range(1, len(w) - 3),
+                              i -> array_to_string(w[i:i+4], ' '))
+                       ELSE [] END) AS gram FROM w
+            ),
+            c AS (
+              SELECT doc_id, n, count(*) AS cnt,
+                     count(*) * len(replace(gram, ' ', '')) AS cov
+              FROM ex GROUP BY doc_id, n, gram
+            ),
+            a AS (
+              SELECT doc_id,
+                     CAST(sum(CASE WHEN n = 1 THEN cnt END) AS BIGINT) AS n_words,
+                     CAST(sum(CASE WHEN n = 1 THEN cov END) AS BIGINT) AS word_chars,
+                     CAST(count(CASE WHEN n = 1 THEN 1 END) AS BIGINT) AS distinct_words,
+                     CAST(coalesce(max(CASE WHEN n = 2 THEN cov END), 0) AS BIGINT) AS top2_chars,
+                     CAST(coalesce(sum(CASE WHEN n = 5 AND cnt > 1 THEN cov END), 0) AS BIGINT) AS dup5_chars
+              FROM c GROUP BY doc_id
+            )
+            SELECT *, CAST(CASE WHEN top2_chars * 5 <= word_chars
+                            AND dup5_chars * 20 <= word_chars * 3
+                       THEN 1 ELSE 0 END AS INTEGER) AS keep_repetition
+            FROM a
+    """
+
+
 def _duck_sig_bands_cte(num_hashes: int = 16, bands: int = 8, shingle_n: int = 5) -> str:
     """The sig/bands CTE pair shared by every MinHash oracle: exact
     Kirsch-Mitzenmacher signatures + LSH band keys over `documents`
@@ -2297,6 +2340,43 @@ def q_dedup_exact_substring(spark, sf_dir):
     )
 
 
+def q_pipeline_clean(spark, sf_dir):
+    """End-to-end corpus-cleaning verdict: chains the exact-dedup
+    gate (row_number over md5(text), min doc_id survives), the
+    quality gate (score < 0.40 drops), and the Gopher repetition gate
+    (keep_repetition = 0 drops; docs with no tokens pass vacuously),
+    assigning each doc its FIRST failing gate as the drop reason and
+    tallying per (source, reason) — the per-stage attrition report a
+    real cleaning pipeline publishes. All three gates are the already
+    oracle-exact operators composed; shuffles are doc-keyed (dedup
+    window on the content hash, two doc_id joins) plus one tiny final
+    rollup."""
+    from pyspark.sql import Window
+
+    docs = _read(spark, sf_dir, "documents")
+    rn = F.row_number().over(
+        Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    )
+    flagged = docs.select("doc_id", "source", rn.alias("rn"))
+    qual = text_ops.with_quality(docs).select("doc_id", "quality")
+    rep = text_ops.repetition_stats(docs).select(
+        "doc_id", F.col("keep_repetition").alias("keep")
+    )
+    j = flagged.join(qual, "doc_id").join(rep, "doc_id", "left")
+    reason = (
+        F.when(F.col("rn") > 1, F.lit("duplicate"))
+        .when(F.col("quality") < 0.40, F.lit("low_quality"))
+        .when(F.coalesce(F.col("keep"), F.lit(1)) == 0, F.lit("repetitive"))
+        .otherwise(F.lit("kept"))
+    )
+    return (
+        j.select("source", reason.alias("reason"))
+        .groupBy("source", "reason")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .orderBy("source", "reason")
+    )
+
+
 def q_dedup_decontaminate(spark, sf_dir):
     """Benchmark decontamination (engine addition; no reference
     analogue — standard LLM-pipeline op): per-doc count of WORD
@@ -3041,12 +3121,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      rounds;
     #   3. queries with a green r03 row, at the back (their rows live
     #      in CORRECTNESS_r03.json, committed).
-    # Round-4b/4c overflow: group (1) grew to 24, so eleven group-(2)
-    # entries no longer fit the 50-row window (a3_change_tally,
+    # Round-4b/4c overflow: group (1) grew to 25, so twelve group-(2)
+    # entries no longer fit the 50-row window (pipeline_e2e,
+    # a3_change_tally,
     # stream_change_merge, stream_dedup,
     # skew_salted_count, stream_window_counts, stream_pip_counts,
     # skew_salted_join, p1_layer_select, p5_list_downgrade,
-    # f7_regex_extract, p6_align_schema). All eleven were re-verified by
+    # f7_regex_extract, p6_align_schema). All twelve were re-verified by
     # the round-3 judge's bare-session oracle run, so they carry the
     # freshest out-of-window evidence, and the skew/stream entries
     # share machinery with queries that DO land driver rows this
@@ -3077,7 +3158,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_first_per_ttl": q_stream_first_per_ttl,
         "text_repetition": q_text_repetition,
         "dedup_exact_substring": q_dedup_exact_substring,
-        # (group-1 ends here — 24 entries; see the overflow note above)
+        "pipeline_clean": q_pipeline_clean,
+        # (group-1 ends here — 25 entries; see the overflow note above)
         # --- (2) newest driver row is r01/r02 ---
         "w_tumbling_hour": q_w_tumbling_hour,
         "geo_pip_counts": q_geo_pip_counts,
@@ -3570,44 +3652,7 @@ def oracle_sql() -> dict[str, str]:
                      token_start + least(40, n - token_start)), ' ') AS chunk_text
             FROM e ORDER BY doc_id, token_start
         """,
-        "text_repetition": f"""
-            WITH w AS (
-              SELECT doc_id, {_duck_tokens('text')} AS w FROM documents
-            ),
-            ex AS (
-              SELECT doc_id, 1 AS n, unnest(w) AS gram FROM w
-              UNION ALL
-              SELECT doc_id, 2 AS n,
-                     unnest(CASE WHEN len(w) >= 2
-                       THEN list_transform(range(1, len(w)),
-                              i -> array_to_string(w[i:i+1], ' '))
-                       ELSE [] END) AS gram FROM w
-              UNION ALL
-              SELECT doc_id, 5 AS n,
-                     unnest(CASE WHEN len(w) >= 5
-                       THEN list_transform(range(1, len(w) - 3),
-                              i -> array_to_string(w[i:i+4], ' '))
-                       ELSE [] END) AS gram FROM w
-            ),
-            c AS (
-              SELECT doc_id, n, count(*) AS cnt,
-                     count(*) * len(replace(gram, ' ', '')) AS cov
-              FROM ex GROUP BY doc_id, n, gram
-            ),
-            a AS (
-              SELECT doc_id,
-                     CAST(sum(CASE WHEN n = 1 THEN cnt END) AS BIGINT) AS n_words,
-                     CAST(sum(CASE WHEN n = 1 THEN cov END) AS BIGINT) AS word_chars,
-                     CAST(count(CASE WHEN n = 1 THEN 1 END) AS BIGINT) AS distinct_words,
-                     CAST(coalesce(max(CASE WHEN n = 2 THEN cov END), 0) AS BIGINT) AS top2_chars,
-                     CAST(coalesce(sum(CASE WHEN n = 5 AND cnt > 1 THEN cov END), 0) AS BIGINT) AS dup5_chars
-              FROM c GROUP BY doc_id
-            )
-            SELECT *, CAST(CASE WHEN top2_chars * 5 <= word_chars
-                            AND dup5_chars * 20 <= word_chars * 3
-                       THEN 1 ELSE 0 END AS INTEGER) AS keep_repetition
-            FROM a ORDER BY doc_id
-        """,
+        "text_repetition": _duck_repetition_sql() + " ORDER BY doc_id",
         "text_vocab": f"""
             SELECT token, count(*) AS n_occ FROM (
               SELECT unnest({_duck_tokens('text')}) AS token FROM documents
@@ -4177,6 +4222,24 @@ def oracle_sql() -> dict[str, str]:
         # different physical strategy (Bloom prune + exact confirm),
         # so the two queries share one oracle by construction.
         "dedup_decontaminate": _DECON_ORACLE,
+        "pipeline_clean": f"""
+            WITH q AS ({_duck_quality_sql()}),
+            rep AS ({_duck_repetition_sql()}),
+            d AS (
+              SELECT doc_id, source,
+                     row_number() OVER (PARTITION BY md5(text)
+                                        ORDER BY doc_id) AS rn
+              FROM documents
+            )
+            SELECT source,
+                   CASE WHEN rn > 1 THEN 'duplicate'
+                        WHEN quality < 0.40 THEN 'low_quality'
+                        WHEN coalesce(keep_repetition, 1) = 0 THEN 'repetitive'
+                        ELSE 'kept' END AS reason,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM d JOIN q USING (doc_id) LEFT JOIN rep USING (doc_id)
+            GROUP BY source, reason ORDER BY source, reason
+        """,
         "dedup_exact_substring": f"""
             WITH w AS (
               SELECT doc_id, {_duck_tokens('text')} AS w FROM documents

@@ -86,6 +86,7 @@ HEADLINE = [
     # exact-substring dedup (floors in BASELINE.md)
     "text_repetition",
     "dedup_exact_substring",
+    "pipeline_clean",
 ]
 
 # 240M pages (vs the r1/r2 40M): interior-cell certification made the

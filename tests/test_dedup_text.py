@@ -857,3 +857,23 @@ def test_exact_substring_spans_hand_computed(spark):
     assert again == out
     with pytest.raises(ValueError):
         dedup.exact_substring_spans(df, window_tokens=1)
+
+
+def test_pipeline_clean_reason_precedence(spark):
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "entry", "/root/repo/__spark_entry__.py"
+    )
+    entry = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entry)
+    out = entry.q_pipeline_clean(spark, "/root/testdata/sf0.001").collect()
+    n_docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).count()
+    # partition of the corpus: every doc lands in exactly one bucket
+    assert sum(r["n_docs"] for r in out) == n_docs
+    reasons = {r["reason"] for r in out}
+    assert "kept" in reasons and reasons <= {
+        "kept", "duplicate", "low_quality", "repetitive"
+    }

@@ -168,6 +168,9 @@ AUDIT = [
     # exact-substring: window-hash exchange + doc-id exchange + final
     # sort; islands/span/doc aggs reuse the doc-id partitioning
     ("dedup_exact_substring", dict(max_python=0, max_shuffles=3)),
+    # cleaning verdict: content-hash window + repetition's two aggs +
+    # two doc_id joins + tiny rollup; all JVM
+    ("pipeline_clean", dict(max_python=0, max_shuffles=8)),
 ]
 
 

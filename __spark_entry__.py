@@ -2481,37 +2481,73 @@ def q_ann_ivf_indexed(spark, sf_dir):
     )
 
 
+def _synth_mm_payloads(docs, ppm_only: bool = False):
+    """Deterministic multimodal payload synthesis (shared by
+    q_multimodal_meta / q_multimodal_frames): even doc_ids get a REAL
+    binary PPM whose raster bytes are ASCII-printable (32 + (k*7+j)%95
+    — printable so DuckDB can rebuild the exact payload as a VARCHAR
+    and md5 it byte-for-byte; 1-byte UTF-8 == raw bytes), odd doc_ids
+    keep the raw utf-8 text as a codec-format stand-in. ppm_only=True
+    makes every row a PPM (the frames query, where each frame hash
+    needs the real-raster oracle)."""
+    import numpy as _np
+    import pandas as _pd
+
+    def _synth(batches):
+        for pdf in batches:
+            urls, payloads = [], []
+            for k, txt in zip(pdf["doc_id"], pdf["text"]):
+                k = int(k)
+                if ppm_only or k % 2 == 0:
+                    w, h = 4 + k % 5, 3 + k % 4
+                    body = (
+                        (32 + (k * 7 + _np.arange(w * h * 3, dtype=_np.int64)) % 95)
+                        .astype(_np.uint8)
+                        .tobytes()
+                    )
+                    payloads.append(b"P6\n%d %d\n255\n" % (w, h) + body)
+                else:
+                    payloads.append(txt.encode("utf-8"))
+                urls.append(str(k))
+            yield _pd.DataFrame({"url": urls, "html": payloads})
+
+    return docs.select("doc_id", "text").mapInPandas(
+        _synth, "url string, html binary"
+    )
+
+
 def q_multimodal_meta(spark, sf_dir):
-    """Binary-column plumbing (decode stubbed — no codec libs): size +
-    md5 content-hash metadata via mapInPandas. EXACT oracle: the fake
-    dims are constants and DuckDB computes the same md5/octet_length
-    over the same utf-8 bytes."""
+    """Binary-column metadata with REAL P6 dims (round-4 verdict item
+    4): even doc_ids carry a synthesized binary PPM — image_metadata
+    parses its header for the true width/height — and odd doc_ids
+    carry codec-format stand-in bytes that take the documented 8x8
+    fake path. EXACT oracle on every column: DuckDB rebuilds the
+    byte-identical ASCII-safe PPM payload and recomputes dims from
+    the synthesis rule, octet lengths, and md5 over the same bytes."""
     _ensure_shipped(spark)
     from gdal_vfr_spark.operators import multimodal
 
-    docs = _read(spark, sf_dir, "documents").select(
-        F.col("doc_id").cast("string").alias("url"),
-        F.encode("text", "utf-8").alias("html"),
-    )
-    return multimodal.image_metadata(docs).orderBy("url")
+    docs = _read(spark, sf_dir, "documents")
+    return multimodal.image_metadata(_synth_mm_payloads(docs)).orderBy("url")
 
 
 def q_multimodal_frames(spark, sf_dir):
-    """Video frame-sampling shape: 1 input row -> n_frames output rows
-    via mapInPandas (the expansion pattern real frame extraction
-    needs). The frame hash itself is a fake-decode artifact (pytest
-    pins its determinism); the ORACLE checks the expansion contract —
-    every doc yields exactly frames 0,2,4,6."""
+    """Frame sampling over REAL P6 rasters: 1 input row -> n_frames
+    output rows via mapInPandas, where each frame is the actual
+    scanline (frame_idx % height) of the decoded image and frame_md5
+    hashes its real payload bytes (round-4 verdict item 4 — the fake
+    frame hash is gone from this query). EXACT oracle including the
+    hash: DuckDB rebuilds the payload and md5s the same scanline
+    substring."""
     _ensure_shipped(spark)
     from gdal_vfr_spark.operators import multimodal
 
-    docs = _read(spark, sf_dir, "documents").select(
-        F.col("doc_id").cast("string").alias("url"),
-        F.encode("text", "utf-8").alias("html"),
+    docs = _read(spark, sf_dir, "documents")
+    frames = multimodal.sample_frames(
+        _synth_mm_payloads(docs, ppm_only=True), every_n=2, n_frames=4
     )
-    frames = multimodal.sample_frames(docs, every_n=2, n_frames=4)
     return frames.select(
-        "url", F.col("frame_idx").cast("long").alias("frame_idx")
+        "url", F.col("frame_idx").cast("long").alias("frame_idx"), "frame_md5"
     ).orderBy("url", "frame_idx")
 
 
@@ -3121,19 +3157,90 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      rounds;
     #   3. queries with a green r03 row, at the back (their rows live
     #      in CORRECTNESS_r03.json, committed).
-    # Round-4b/4c overflow: group (1) grew to 25, so twelve group-(2)
-    # entries no longer fit the 50-row window (pipeline_e2e,
-    # a3_change_tally,
-    # stream_change_merge, stream_dedup,
-    # skew_salted_count, stream_window_counts, stream_pip_counts,
-    # skew_salted_join, p1_layer_select, p5_list_downgrade,
-    # f7_regex_extract, p6_align_schema). All twelve were re-verified by
-    # the round-3 judge's bare-session oracle run, so they carry the
-    # freshest out-of-window evidence, and the skew/stream entries
-    # share machinery with queries that DO land driver rows this
-    # round. They go first in group (2) next round.
+    # Round-5 rotation (COVERAGE.md documents the rule: every query
+    # driver-green at most 2 rounds stale, modulo the 111-vs-100
+    # two-window overflow):
+    #   1. changed in round 5 — new oracles/plans with no committed
+    #      driver row for the current code (multimodal real-P6 tier,
+    #      exact-substring skew rework, bloom-probe row-id fix, the
+    #      four session-cloned streaming helpers);
+    #   2. the twelve r02-era queries the round-4 verdict flagged
+    #      (their committed record is two windows old);
+    #   3. r03-era rows (now 2 rounds stale) — the first 31 fit the
+    #      50-row window; the 15 that overflow lead round 6;
+    #   4. r04-green rows at the back (1 round stale — their rows are
+    #      committed in CORRECTNESS_r04.json).
     return {
-        # --- (1) new/changed in round 4 ---
+        # --- (1) changed in round 5 ---
+        "multimodal_meta": q_multimodal_meta,
+        "multimodal_frames": q_multimodal_frames,
+        "dedup_exact_substring": q_dedup_exact_substring,
+        "dedup_decontaminate_bloom": q_dedup_decontaminate_bloom,
+        "stream_dedup": q_stream_dedup,
+        "stream_minhash_dedup": q_stream_minhash_dedup,
+        "stream_first_per_ttl": q_stream_first_per_ttl,
+        "stream_sessionize": q_stream_sessionize,
+        # --- (2) r02-era driver rows (round-4 verdict item 2 list) ---
+        "pipeline_e2e": q_pipeline_e2e,
+        "a3_change_tally": q_a3_change_tally,
+        "stream_change_merge": q_stream_change_merge,
+        "skew_salted_count": q_skew_salted_count,
+        "stream_window_counts": q_stream_window_counts,
+        "stream_pip_counts": q_stream_pip_counts,
+        "skew_salted_join": q_skew_salted_join,
+        "p1_layer_select": q_p1_layer_select,
+        "p5_list_downgrade": q_p5_list_downgrade,
+        "f7_regex_extract": q_f7_regex_extract,
+        "p6_align_schema": q_p6_align_schema,
+        # --- (3) r03-era rows, 2 rounds stale (first 31 in-window) ---
+        "geo_pip_parcely_large": q_geo_pip_parcely_large,
+        "web_url_canonicalize": q_web_url_canonicalize,
+        "text_bm25_topk": q_text_bm25_topk,
+        "w_sessionize": q_w_sessionize,
+        "graph_pagerank": q_graph_pagerank,
+        "geo_range_join_large": q_geo_range_join_large,
+        "geo_knn_lines_large": q_geo_knn_lines_large,
+        "sample_temperature": q_sample_temperature,
+        "text_quantiles": q_text_quantiles,
+        "geo_pip_hierarchy_parcel": q_geo_pip_hierarchy_parcel,
+        "a2_wkb_validity": q_a2_wkb_validity,
+        "geo_tile_bbox_read": q_geo_tile_bbox_read,
+        "dedup_cc": q_dedup_cc,
+        "dedup_keep_best": q_dedup_keep_best,
+        "dedup_representatives": q_dedup_representatives,
+        "ann_topk": q_ann_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivf_indexed": q_ann_ivf_indexed,
+        "embedding_near_dup_exact": q_embedding_near_dup_exact,
+        "embedding_near_dup": q_embedding_near_dup,
+        "geo_pip_hierarchy": q_geo_pip_hierarchy,
+        "geo_pip_hierarchy3": q_geo_pip_hierarchy3,
+        "asof_join": q_asof_join,
+        "web_domain_stats": q_web_domain_stats,
+        "web_cap_per_domain": q_web_cap_per_domain,
+        "s4_formats": q_s4_formats,
+        "f9_dsn_extract": q_f9_dsn_extract,
+        "f5_key_synthesis": q_f5_key_synthesis,
+        "a5_max_fid": q_a5_max_fid,
+        "p2_key_lookup": q_p2_key_lookup,
+        # ---- 50-row window boundary (the 15 below lead round 6) ----
+        "m3_merge_state": q_m3_merge_state,
+        "so2_union": q_so2_union,
+        "a1_pricing_summary": q_a1_pricing_summary,
+        "a2_presence": q_a2_presence,
+        "a4_null_tally": q_a4_null_tally,
+        "j1_classify": q_j1_classify,
+        "j2_tombstone_anti": q_j2_tombstone_anti,
+        "j3_dedup_window": q_j3_dedup_window,
+        "p4_coalesce_chain": q_p4_coalesce_chain,
+        "so1_symmetric_diff": q_so1_symmetric_diff,
+        "sort_topk": q_sort_topk,
+        "window_rank": q_window_rank,
+        "f_dates": q_f_dates,
+        "f_interval_expand": q_f_interval_expand,
+        "f_json_extract": q_f_json_extract,
+        # --- (4) r04-green rows (committed in CORRECTNESS_r04.json) ---
         "m1_mode_dispatch": q_m1_mode_dispatch,
         "s6_sink_toggles": q_s6_sink_toggles,
         "s2_retry_plan": q_s2_retry_plan,
@@ -3152,15 +3259,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_int8_topk": q_ann_int8_topk,
         "geo_shape_stats": q_geo_shape_stats,
         "dedup_incremental": q_dedup_incremental,
-        "stream_minhash_dedup": q_stream_minhash_dedup,
-        "dedup_decontaminate_bloom": q_dedup_decontaminate_bloom,
         "sample_epochs": q_sample_epochs,
-        "stream_first_per_ttl": q_stream_first_per_ttl,
         "text_repetition": q_text_repetition,
-        "dedup_exact_substring": q_dedup_exact_substring,
         "pipeline_clean": q_pipeline_clean,
-        # (group-1 ends here — 25 entries; see the overflow note above)
-        # --- (2) newest driver row is r01/r02 ---
         "w_tumbling_hour": q_w_tumbling_hour,
         "geo_pip_counts": q_geo_pip_counts,
         "geo_pip_rows": q_geo_pip_rows,
@@ -3186,68 +3287,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "text_extract": q_text_extract,
         "geo_tile_join": q_geo_tile_join,
-        "pipeline_e2e": q_pipeline_e2e,
-        "a3_change_tally": q_a3_change_tally,
-        "stream_change_merge": q_stream_change_merge,
-        "stream_dedup": q_stream_dedup,
-        "skew_salted_count": q_skew_salted_count,
-        "stream_window_counts": q_stream_window_counts,
-        "stream_pip_counts": q_stream_pip_counts,
-        "skew_salted_join": q_skew_salted_join,
-        "p1_layer_select": q_p1_layer_select,
-        "p5_list_downgrade": q_p5_list_downgrade,
-        "f7_regex_extract": q_f7_regex_extract,
-        "p6_align_schema": q_p6_align_schema,
-        # --- (3) green r03 rows (CORRECTNESS_r03.json) ---
-        "geo_pip_parcely_large": q_geo_pip_parcely_large,
-        "web_url_canonicalize": q_web_url_canonicalize,
-        "text_bm25_topk": q_text_bm25_topk,
-        "w_sessionize": q_w_sessionize,
-        "graph_pagerank": q_graph_pagerank,
-        "stream_sessionize": q_stream_sessionize,
-        "geo_range_join_large": q_geo_range_join_large,
-        "geo_knn_lines_large": q_geo_knn_lines_large,
-        "sample_temperature": q_sample_temperature,
-        "text_quantiles": q_text_quantiles,
-        "geo_pip_hierarchy_parcel": q_geo_pip_hierarchy_parcel,
-        "a2_wkb_validity": q_a2_wkb_validity,
-        "geo_tile_bbox_read": q_geo_tile_bbox_read,
-        "dedup_cc": q_dedup_cc,
-        "dedup_keep_best": q_dedup_keep_best,
-        "dedup_representatives": q_dedup_representatives,
-        "ann_topk": q_ann_topk,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "ann_ivf_indexed": q_ann_ivf_indexed,
-        "embedding_near_dup_exact": q_embedding_near_dup_exact,
-        "embedding_near_dup": q_embedding_near_dup,
-        "geo_pip_hierarchy": q_geo_pip_hierarchy,
-        "geo_pip_hierarchy3": q_geo_pip_hierarchy3,
-        "asof_join": q_asof_join,
-        "web_domain_stats": q_web_domain_stats,
-        "web_cap_per_domain": q_web_cap_per_domain,
-        "multimodal_meta": q_multimodal_meta,
-        "multimodal_frames": q_multimodal_frames,
-        "s4_formats": q_s4_formats,
-        "f9_dsn_extract": q_f9_dsn_extract,
-        "f5_key_synthesis": q_f5_key_synthesis,
-        "a5_max_fid": q_a5_max_fid,
-        "p2_key_lookup": q_p2_key_lookup,
-        "m3_merge_state": q_m3_merge_state,
-        "so2_union": q_so2_union,
-        "a1_pricing_summary": q_a1_pricing_summary,
-        "a2_presence": q_a2_presence,
-        "a4_null_tally": q_a4_null_tally,
-        "j1_classify": q_j1_classify,
-        "j2_tombstone_anti": q_j2_tombstone_anti,
-        "j3_dedup_window": q_j3_dedup_window,
-        "p4_coalesce_chain": q_p4_coalesce_chain,
-        "so1_symmetric_diff": q_so1_symmetric_diff,
-        "sort_topk": q_sort_topk,
-        "window_rank": q_window_rank,
-        "f_dates": q_f_dates,
-        "f_interval_expand": q_f_interval_expand,
-        "f_json_extract": q_f_json_extract,
     }
 
 
@@ -4461,15 +4500,41 @@ def oracle_sql() -> dict[str, str]:
             FROM orders WHERE o_orderkey % 100 = 3 ORDER BY key
         """,
         "multimodal_meta": """
-            SELECT CAST(doc_id AS VARCHAR) AS url,
-                   CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
-                   octet_length(encode(text)) AS n_bytes,
-                   md5(text) AS content_md5
-            FROM documents ORDER BY url
+            WITH src AS (
+              SELECT doc_id AS k, CAST(doc_id AS VARCHAR) AS url, text,
+                     4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+              FROM documents
+            ), pl AS (
+              SELECT k, url, text, w, h,
+                CASE WHEN k % 2 = 0 THEN
+                  'P6' || chr(10) || w || ' ' || h || chr(10) || '255' || chr(10) ||
+                  array_to_string(
+                    [chr(CAST(32 + (k*7 + j) % 95 AS INT)) FOR j IN range(w*h*3)], '')
+                END AS payload
+              FROM src
+            )
+            SELECT url,
+                   CAST(CASE WHEN k % 2 = 0 THEN w ELSE 8 END AS INT) AS width,
+                   CAST(CASE WHEN k % 2 = 0 THEN h ELSE 8 END AS INT) AS height,
+                   CAST(CASE WHEN k % 2 = 0 THEN length(payload)
+                             ELSE octet_length(encode(text)) END AS BIGINT) AS n_bytes,
+                   CASE WHEN k % 2 = 0 THEN md5(payload) ELSE md5(text) END AS content_md5
+            FROM pl ORDER BY url
         """,
         "multimodal_frames": """
-            SELECT CAST(doc_id AS VARCHAR) AS url, CAST(f.i AS BIGINT) AS frame_idx
-            FROM documents, (SELECT unnest([0, 2, 4, 6]) AS i) f
+            WITH src AS (
+              SELECT doc_id AS k, CAST(doc_id AS VARCHAR) AS url,
+                     4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+              FROM documents
+            ), pl AS (
+              SELECT k, url, w, h,
+                array_to_string(
+                  [chr(CAST(32 + (k*7 + j) % 95 AS INT)) FOR j IN range(w*h*3)], '') AS body
+              FROM src
+            )
+            SELECT url, CAST(f.i AS BIGINT) AS frame_idx,
+                   md5(substr(body, ((f.i % h) * w * 3) + 1, w * 3)) AS frame_md5
+            FROM pl, (SELECT unnest([0, 2, 4, 6]) AS i) f
             ORDER BY url, frame_idx
         """,
         "a2_wkb_presence": """

@@ -712,7 +712,14 @@ def decontaminate_bloom(
     # persist + materialize: bench feeds BOTH the bloom build and the
     # confirm join — without the boundary the Arrow shingle pass and
     # the bench scan run twice (same eager-cache rationale as
-    # minhash_lsh_pairs' signature table)
+    # minhash_lsh_pairs' signature table). The cache is RELEASED
+    # before returning (round-4 advice: the old lazy plan kept bench
+    # persisted for the session lifetime, leaking executor storage
+    # across repeated calls): the per-doc counts are eagerly
+    # materialized via localCheckpoint — output is survivor-sized
+    # (contaminated docs only), so the checkpoint blocks are tiny and
+    # are cleaned by the ContextCleaner when the returned DataFrame
+    # is garbage-collected — then bench is unpersisted.
     bench = (
         word_shingle_hash_rows(
             benchmark.select(F.col(bench_text_col).alias("__t")), "__t", None, n
@@ -720,15 +727,19 @@ def decontaminate_bloom(
         .distinct()
         .persist()
     )
-    bench.count()
-    bloom = bloom_build(bench, "__sh")
-    probe = word_shingle_hash_rows(docs, text_col, id_col, n)
-    survivors = bloom_probe(probe, "__sh", bloom)
-    return (
-        survivors.join(bench, "__sh")
-        .groupBy(id_col)
-        .agg(F.count("*").alias("n_contaminated"))
-    )
+    try:
+        bench.count()
+        bloom = bloom_build(bench, "__sh")
+        probe = word_shingle_hash_rows(docs, text_col, id_col, n)
+        survivors = bloom_probe(probe, "__sh", bloom)
+        out = (
+            survivors.join(bench, "__sh")
+            .groupBy(id_col)
+            .agg(F.count("*").alias("n_contaminated"))
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        bench.unpersist(blocking=False)
 
 
 def exact_substring_spans(
@@ -751,13 +762,22 @@ def exact_substring_spans(
 
     Plan shape (scales): tokenize once, explode the (start, hash)
     window stream (hash = 16-hex md5 half of the joined window —
-    64 bits, the repo's standard oracle-parity key); ONE shuffle on
-    the window hash (count-over-window marks globally duplicated
-    windows — rows move once, vs groupBy+self-join moving them
-    twice); filter to duplicated windows only (tiny in clean
-    corpora); ONE shuffle on the doc id, after which the island
-    window, the per-island aggregate, and the per-doc aggregate all
-    reuse the same hash partitioning (no further exchange — Spark's
+    64 bits, the repo's standard oracle-parity key); duplicated
+    hashes are found with a MAP-SIDE-COMBINED groupBy("h").count()
+    joined back on h — NOT count-over-window: a window partitioned
+    by a content hash has no partial aggregation and AQE cannot
+    split a window partition, so one boilerplate n-gram shared by
+    10^8 pages (cookie banners, nav text) would land every
+    occurrence in a single un-splittable task (round-4 verdict
+    item 1; the megacity-cell analogue of SURVEY §4 item 2 —
+    reference ground: J3's duplicate handling, vfrogr.py:817-829).
+    With groupBy+join, full window rows still move only once (into
+    the h-join); the extra exchange carries (h, partial-count)
+    pairs, and the join is AQE-skew-splittable. Then filter to
+    duplicated windows only (tiny in clean corpora); ONE shuffle on
+    the doc id, after which the island window, the per-island
+    aggregate, and the per-doc aggregate all reuse the same hash
+    partitioning (no further exchange — Spark's
     ClusteredDistribution(id, island) is satisfied by
     HashPartitioning(id)). A suffix array is the single-machine
     shape; the window-hash shuffle is the 1000-executor shape.
@@ -786,9 +806,13 @@ def exact_substring_spans(
             F.md5(F.concat_ws(" ", F.slice(w, F.col("start"), L))), 1, 16
         ).alias("h"),
     )
-    dup = wins.withColumn(
-        "c", F.count("*").over(Window.partitionBy("h"))
-    ).where(F.col("c") > 1)
+    dup_h = (
+        wins.groupBy("h")
+        .agg(F.count("*").alias("__hc"))
+        .where(F.col("__hc") > 1)
+        .select("h")
+    )
+    dup = wins.join(dup_h, "h").drop("h")
     by_doc = Window.partitionBy(id_col).orderBy("start")
     brk = F.when(
         F.col("start") > F.lag("start").over(by_doc) + F.lit(L - 1), 1

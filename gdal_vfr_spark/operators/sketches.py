@@ -177,28 +177,16 @@ CMS_DEPTH = 4
 CMS_WIDTH = 1024
 
 
-def cms_buckets_expr(token: Column, depth: int = CMS_DEPTH, width: int = CMS_WIDTH) -> Column:
-    """All `depth` buckets of `token` from ONE md5: row i's bucket is
-    the i-th disjoint 8-hex slice of the digest, mod width (md5's 32
-    hex chars cover depth <= 4). One digest per token occurrence
-    instead of depth — the map-side hash grind is the whole cost of a
-    CMS build, so this is a ~depth-fold cut. DuckDB twin:
-    ('0x' || substr(md5(t), 1 + 8*i, 8))::UBIGINT % width."""
-    if depth > 4:
-        raise ValueError("depth > 4 needs more digest bits than one md5")
-    d = F.md5(token)
-    return F.array(
-        *[
-            F.pmod(
-                F.conv(F.substring(d, 1 + 8 * i, 8), 16, 10).cast("long"),
-                F.lit(width),
-            )
-            for i in range(depth)
-        ]
-    )
-
-
 def _slices_from_digest(digest: Column, n: int, hx: int, m: int) -> Column:
+    """n disjoint hx-hex slices of one md5 digest, each mod m — the
+    one-digest-per-key trick shared by the CMS and Bloom builders.
+    The digest must be PROJECTED into its own column first (see
+    _with_rows); a single-expression variant that inlines md5 into
+    the generator input re-grinds one digest per slice because
+    Catalyst does not CSE inside generator inputs (round-4 advice:
+    the unused single-expression variants were deleted so this
+    projected-digest path is the one blessed path).
+    DuckDB twin per slice: ('0x' || substr(md5(t), 1+hx*i, hx))::UBIGINT % m."""
     return F.array(
         *[
             F.pmod(
@@ -314,20 +302,6 @@ BLOOM_K = 4
 BLOOM_WORD = 32
 
 
-def bloom_bits_expr(key: Column, k: int = BLOOM_K, m: int = BLOOM_BITS) -> Column:
-    """All k bit indexes of `key` from ONE md5: hash i is the i-th
-    disjoint ceil(log16(m))-hex slice of the digest, mod m — at the
-    default m = 2^20 a 5-hex slice IS a uniform 20-bit value, so the
-    mod is exact (not just near-uniform) and one digest serves k <= 6.
-    One md5 per probe key instead of k: the probe side is the corpus,
-    so this is the dominant map-side cost. DuckDB twin:
-    ('0x' || substr(md5(s), 1 + hx*i, hx))::UBIGINT % m."""
-    hx = _bloom_hex(m)
-    if hx * k > 32:
-        raise ValueError("k hash slices exceed one md5 digest")
-    return _slices_from_digest(F.md5(key), k, hx, m)
-
-
 def _bloom_hex(m: int) -> int:
     """Hex chars per hash slice: ceil(log16(m))."""
     return max(1, ((m - 1).bit_length() + 3) >> 2)
@@ -380,10 +354,15 @@ def bloom_probe(
     k bits set — no false negatives; false positives at the standard
     (1 - e^{-kn/m})^k rate must be removed by an exact confirm if
     exactness is required). The filter table broadcasts; the probe is
-    map-side + one regroup on the probed columns."""
+    map-side + one regroup per input ROW: rows are tagged with a
+    unique id before the bit explode so duplicate input rows are
+    preserved with their multiplicity (round-4 advice: grouping on
+    the raw columns merged duplicates, making sum(__hit) = 2k != k
+    and silently DROPPING an inserted key — a false negative)."""
     cols = df.columns
+    tagged = df.withColumn("__rid", F.monotonically_increasing_id())
     flt = bloom.select(F.col("word").alias("__bword"), F.col("bits").alias("__bbits"))
-    probed = _with_bloom_bits(df, key_col, k, m).join(
+    probed = _with_bloom_bits(tagged, key_col, k, m).join(
         F.broadcast(flt), F.col("__word") == F.col("__bword"), "left"
     )
     hit = (
@@ -392,7 +371,7 @@ def bloom_probe(
     )
     return (
         probed.withColumn("__hit", hit.cast("int"))
-        .groupBy(*cols)
+        .groupBy("__rid", *cols)
         .agg(F.sum("__hit").alias("__nhit"))
         .where(F.col("__nhit") == k)
         .select(*cols)

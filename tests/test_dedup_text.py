@@ -859,6 +859,44 @@ def test_exact_substring_spans_hand_computed(spark):
         dedup.exact_substring_spans(df, window_tokens=1)
 
 
+def test_exact_substring_spans_skewed_hash_plan(spark):
+    # Round-4 verdict item 1: one boilerplate n-gram shared by ~10^5
+    # docs (the cookie-banner case). The duplicate-marking must carry
+    # MAP-SIDE partial aggregation on the window hash and must NOT be
+    # a window partitioned by it — a window partition is un-splittable
+    # (no partial agg, no AQE skew split), so a hot hash would pile
+    # every occurrence into one task at 100x scale.
+    boiler = "we use cookies to improve your browsing experience"
+    docs = spark.range(100_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit(boiler + " page "), F.col("id").cast("string")
+        ).alias("text"),
+    )
+    out = dedup.exact_substring_spans(docs, window_tokens=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # every Window operator partitions by the doc id (island logic),
+    # never by the content hash h
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "h#" not in line, line
+    # the duplicate-hash marking is a map-side-combined aggregate
+    assert "partial_count" in plan
+    # correctness on the skewed input: each doc is 10 tokens
+    # (8 boiler + "page" + unique id); windows at starts 1 and 2 are
+    # shared by all docs, start 3 is unique -> one span, tokens 1..9
+    sample = {
+        r["doc_id"]: r.asDict()
+        for r in out.where(F.col("doc_id").isin(0, 42, 99_999)).collect()
+    }
+    assert len(sample) == 3
+    for r in sample.values():
+        assert r["n_words"] == 10
+        assert r["n_dup_spans"] == 1
+        assert r["n_dup_windows"] == 2
+        assert r["dup_tokens"] == 9
+
+
 def test_pipeline_clean_reason_precedence(spark):
     import importlib.util
 

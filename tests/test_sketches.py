@@ -132,6 +132,18 @@ def test_bloom_no_false_negatives_and_merge(spark):
     assert merged == whole
 
 
+def test_bloom_probe_preserves_duplicate_rows(spark):
+    # round-4 advice (medium): grouping on the raw columns merged
+    # duplicate probe rows, so sum(__hit) became 2k != k and an
+    # inserted key vanished entirely. Probing [k1, k1, k2] against a
+    # filter containing both must return all three rows.
+    keys = spark.createDataFrame([("k1",), ("k2",)], "k string")
+    flt = sk.bloom_build(keys, "k")
+    probe = spark.createDataFrame([("k1",), ("k1",), ("k2",)], "k string")
+    out = sorted(r["k"] for r in sk.bloom_probe(probe, "k", flt).collect())
+    assert out == ["k1", "k1", "k2"]
+
+
 def test_bloom_prunes_absent_keys(spark):
     present = spark.createDataFrame([(f"in{i}",) for i in range(100)], "k string")
     absent = spark.createDataFrame([(f"out{i}",) for i in range(2000)], "k string")

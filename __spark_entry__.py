@@ -352,6 +352,38 @@ def _duck_sig_bands_cte(num_hashes: int = 16, bands: int = 8, shingle_n: int = 5
     )"""
 
 
+def _duck_minhash_star_sql(
+    num_hashes: int = 16, bands: int = 8, shingle_n: int = 5, cap: int = 8
+) -> str:
+    """Capped-bucket twin of _duck_minhash_sql: buckets <= cap all-pairs,
+    buckets > cap star-linked to the bucket-min doc (minhash_lsh_pairs
+    max_bucket semantics)."""
+    eq_count = " + ".join(
+        f"(CASE WHEN a.s{i} = b.s{i} THEN 1 ELSE 0 END)" for i in range(num_hashes)
+    )
+    return f"""
+    WITH {_duck_sig_bands_cte(num_hashes, bands, shingle_n)}, bstats AS (
+      SELECT band_key, count(*) AS bn, min(doc_id) AS bmin
+      FROM bands GROUP BY band_key
+    ), pairs AS (
+      SELECT DISTINCT id_a, id_b FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a
+        JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+        JOIN bstats s ON a.band_key = s.band_key
+        WHERE s.bn <= {cap}
+        UNION ALL
+        SELECT s.bmin AS id_a, a.doc_id AS id_b
+        FROM bands a JOIN bstats s ON a.band_key = s.band_key
+        WHERE s.bn > {cap} AND a.doc_id <> s.bmin
+      )
+    )
+    SELECT p.id_a, p.id_b,
+           CAST(({eq_count}) AS DOUBLE) / {float(num_hashes)} AS jaccard_est
+    FROM pairs p JOIN sig a ON p.id_a = a.doc_id JOIN sig b ON p.id_b = b.doc_id
+    """
+
+
 def _duck_minhash_sql(num_hashes: int = 16, bands: int = 8, shingle_n: int = 5) -> str:
     eq_count = " + ".join(
         f"(CASE WHEN a.s{i} = b.s{i} THEN 1 ELSE 0 END)" for i in range(num_hashes)
@@ -1842,6 +1874,21 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     return dedup.minhash_lsh_pairs(docs, num_hashes=16, bands=8).orderBy("id_a", "id_b")
 
 
+def q_dedup_lsh_star(spark, sf_dir):
+    """minhash_lsh_pairs with the hot-bucket cap (max_bucket=8): band
+    buckets up to 8 members emit exact all-pairs, larger ones emit
+    component-preserving star pairs to the bucket-min doc — the O(B)
+    escape from the band self-join's O(B^2) blowup on boilerplate
+    template clusters (reference ground: J3's duplicate-key collapse,
+    vfrogr.py:817-829, re-expressed for web-corpus skew). At sf0.01 the
+    fixture has 38 buckets over the cap and 2,015 under it, so BOTH
+    branches are oracle-checked."""
+    docs = _read(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(
+        docs, num_hashes=16, bands=8, max_bucket=8
+    ).orderBy("id_a", "id_b")
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
     pairs = dedup.minhash_lsh_pairs(docs, num_hashes=16, bands=8).select("id_a", "id_b")
@@ -3175,6 +3222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": q_multimodal_meta,
         "multimodal_frames": q_multimodal_frames,
         "dedup_exact_substring": q_dedup_exact_substring,
+        "dedup_lsh_star": q_dedup_lsh_star,
         "dedup_decontaminate_bloom": q_dedup_decontaminate_bloom,
         "stream_dedup": q_stream_dedup,
         "stream_minhash_dedup": q_stream_minhash_dedup,
@@ -3570,6 +3618,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY md5(text) ORDER BY doc_id
         """,
         "dedup_minhash_lsh": _duck_minhash_sql() + " ORDER BY id_a, id_b",
+        "dedup_lsh_star": _duck_minhash_star_sql() + " ORDER BY id_a, id_b",
         "stream_first_per_ttl": f"""
             WITH e AS (
               SELECT user_id, event_id, epoch_us(ts) // 1000 AS ms,

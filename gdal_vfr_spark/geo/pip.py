@@ -21,6 +21,8 @@ Execution shape (scale rationale):
 
 from __future__ import annotations
 
+import json
+import os
 from dataclasses import dataclass
 
 import numpy as np
@@ -698,6 +700,62 @@ class PartitionedPIPJoiner:
             return hits
         keyed = hits.select(rid, out_key)
         return base.join(keyed, on=rid, how="left").drop(rid)
+
+    # ---- index persistence -------------------------------------------
+    # The cover + group tables ARE the prepared index (build-once /
+    # apply-per-batch, the reference's build-indexes-once import —
+    # vfrpg.py:120-163). Saving them to parquet makes the build a
+    # one-time storage cost shared by every later job: a production
+    # pipeline (and the two-cluster-size scaling measurement) loads the
+    # index instead of re-decoding 10^7 WKB polygons per cluster spin-up.
+
+    def save_index(self, path: str) -> None:
+        """Write the prepared index (cover, groups, params) under `path`.
+
+        Parquet keeps both tables distributed end-to-end — neither the
+        cover nor the packed-geometry groups ever pass through the
+        driver; meta.json carries the scalar params needed to re-arm
+        apply() without the raw dimension layer."""
+        self._cover_sdf.write.mode("overwrite").parquet(os.path.join(path, "cover"))
+        self._groups_sdf.write.mode("overwrite").parquet(os.path.join(path, "groups"))
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump(
+                {
+                    "res": self.res,
+                    "gres": self.gres,
+                    "salt": self.salt,
+                    "out_key": self.out_key,
+                    "broadcast_cover": self.broadcast_cover,
+                },
+                f,
+            )
+
+    @classmethod
+    def load_index(
+        cls, spark, path: str, broadcast_cover: bool | None = None
+    ) -> "PartitionedPIPJoiner":
+        """Re-arm a joiner from a save_index() directory. apply() is
+        bit-identical to the builder's (parity pinned in tests/test_pip.py);
+        `broadcast_cover` may be overridden at load time (the budget rule
+        depends on cluster memory, not on how the index was built)."""
+        with open(os.path.join(path, "meta.json")) as f:
+            meta = json.load(f)
+        from pyspark.storagelevel import StorageLevel
+
+        obj = cls.__new__(cls)
+        obj.res = int(meta["res"])
+        obj.gres = int(meta["gres"])
+        obj.salt = int(meta["salt"])
+        obj.out_key = meta["out_key"]
+        obj.broadcast_cover = (
+            bool(meta["broadcast_cover"]) if broadcast_cover is None else broadcast_cover
+        )
+        obj._polys = None
+        obj._cover_sdf = spark.read.parquet(os.path.join(path, "cover")).persist()
+        obj._groups_sdf = spark.read.parquet(os.path.join(path, "groups")).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        return obj
 
 
 def point_in_polygon_join(

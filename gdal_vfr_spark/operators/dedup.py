@@ -254,10 +254,27 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 5,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs (a < b) sharing >=1 LSH band bucket,
     with the MinHash Jaccard estimate (fraction of agreeing signature
-    positions). bands*rows == num_hashes."""
+    positions). bands*rows == num_hashes.
+
+    max_bucket caps the band self-join's quadratic blowup: a template
+    duplicated B times co-buckets in (almost) every band and all-pairs
+    emits O(B^2) rows per band — B=10^5 boilerplate copies (the normal
+    case in web corpora) is 5*10^9 pairs from ONE bucket, a straggler
+    that no shuffle setting fixes (measured: tools/lsh_skew_run.py /
+    BASELINE.md). Buckets larger than the cap emit STAR pairs instead —
+    (bucket-min id, member) for every other member: O(B) rows,
+    component-preserving (every member stays connected to the rest of
+    the bucket through the min), pair-lossy (within-bucket non-min
+    pairs are dropped; connected_components / dedup_keep_representatives
+    consumers are unaffected, pinned in tests/test_dedup.py). The
+    bucket stats come from a map-side-combined groupBy joined back on
+    band_key — the same skew-safe shape as exact_substring_spans'
+    duplicate marking, never a window over a content key. max_bucket=
+    None keeps exact all-pairs output (the oracle-checked default)."""
     rows = num_hashes // bands
     if bands * rows != num_hashes:
         raise ValueError("bands must divide num_hashes")
@@ -290,13 +307,35 @@ def minhash_lsh_pairs(
     exploded = sig.select(
         id_col, "minhash", F.explode(band_keys_expr(F.col("minhash"), bands, rows)).alias("band_key")
     )
-    a = exploded.select(F.col(id_col).alias("id_a"), F.col("band_key")).alias("a")
-    b = exploded.select(F.col(id_col).alias("id_b"), F.col("band_key")).alias("b")
-    # distinct over bare id pairs (cheap), then rejoin the cached
-    # signatures once per pair for the agreement estimate
-    pairs = (
-        a.join(b, on="band_key").where(F.col("id_a") < F.col("id_b")).select("id_a", "id_b").distinct()
-    )
+    if max_bucket is None:
+        a = exploded.select(F.col(id_col).alias("id_a"), F.col("band_key")).alias("a")
+        b = exploded.select(F.col(id_col).alias("id_b"), F.col("band_key")).alias("b")
+        # distinct over bare id pairs (cheap), then rejoin the cached
+        # signatures once per pair for the agreement estimate
+        pairs = (
+            a.join(b, on="band_key").where(F.col("id_a") < F.col("id_b")).select("id_a", "id_b").distinct()
+        )
+    else:
+        stats = exploded.groupBy("band_key").agg(
+            F.count("*").alias("__bn"), F.min(id_col).alias("__bmin")
+        )
+        pair_src = exploded.join(stats, "band_key")
+        small = pair_src.where(F.col("__bn") <= max_bucket)
+        sa_ = small.select(F.col(id_col).alias("id_a"), "band_key").alias("a")
+        sb_ = small.select(F.col(id_col).alias("id_b"), "band_key").alias("b")
+        all_pairs = (
+            sa_.join(sb_, on="band_key")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+        )
+        # hot buckets: O(B) star rows, map-only after the stats join
+        # (AQE splits the skewed join partition; output is one row per
+        # member, never per pair)
+        star = (
+            pair_src.where((F.col("__bn") > max_bucket) & (F.col(id_col) != F.col("__bmin")))
+            .select(F.col("__bmin").alias("id_a"), F.col(id_col).alias("id_b"))
+        )
+        pairs = all_pairs.unionByName(star).distinct()
     sa = sig.select(F.col(id_col).alias("id_a"), F.col("minhash").alias("mh_a"))
     sb = sig.select(F.col(id_col).alias("id_b"), F.col("minhash").alias("mh_b"))
     agree = F.size(

@@ -915,3 +915,40 @@ def test_pipeline_clean_reason_precedence(spark):
     assert "kept" in reasons and reasons <= {
         "kept", "duplicate", "low_quality", "repetitive"
     }
+
+
+def test_lsh_max_bucket_component_preserving(spark):
+    """A hot template cluster (60 near-identical docs, every band
+    co-buckets) plus organic near-dup pairs: the capped run must emit
+    O(B) star rows for the hot bucket — never O(B^2) — while keeping
+    EXACTLY the uncapped run's connected components (the dedup
+    consumers' contract), and matching it pair-for-pair on small
+    buckets."""
+    template = "cookie banner accept all manage preferences privacy policy terms"
+    rows = [(i, f"{template} v{i % 7}") for i in range(60)]
+    rows += [
+        (100, "the quick brown fox jumps over the lazy dog in the park"),
+        (101, "the quick brown fox jumps over the lazy dog in the yard"),
+        (200, "completely different text about database systems and queries"),
+    ]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    uncapped = dedup.minhash_lsh_pairs(docs, num_hashes=16, bands=8)
+    capped = dedup.minhash_lsh_pairs(docs, num_hashes=16, bands=8, max_bucket=8)
+    n_un, n_cap = uncapped.count(), capped.count()
+    assert n_un > 60 * 59 // 2  # the blowup the cap exists to avoid
+    assert n_cap < 60 * 3  # star rows: O(B), not O(B^2)
+
+    def comps(pairs):
+        cc = dedup.connected_components(pairs.select("id_a", "id_b"))
+        return sorted((r[0], r[1]) for r in cc.collect())
+
+    assert comps(capped) == comps(uncapped)
+    # small buckets keep exact all-pairs output (same ids AND estimates)
+    hot = {r["doc_id"] for r in docs.where("doc_id < 100").collect()}
+    small_cap = sorted(
+        tuple(r) for r in capped.collect() if r["id_a"] not in hot
+    )
+    small_un = sorted(
+        tuple(r) for r in uncapped.collect() if r["id_a"] not in hot
+    )
+    assert small_cap == small_un

@@ -224,3 +224,30 @@ def test_partitioned_pip_shuffle_cover_parity(spark):
         ).apply(pages).select("url", "obec_kod").collect()
     )
     assert got == want
+
+
+def test_partitioned_pip_index_save_load_parity(spark, tmp_path):
+    """save_index/load_index round-trip: a joiner re-armed from the
+    parquet index returns exactly the builder's rows (both cover
+    modes), without touching the raw dimension layer."""
+    from gdal_vfr_spark.geo.pip import PartitionedPIPJoiner
+
+    pages = datagen.gen_webpages(spark, n=1500, seed=31)
+    parcels = datagen.gen_parcely_large(spark, n_side=40)
+    built = PartitionedPIPJoiner(
+        parcels, poly_key="kod", geom_col="originalni_hranice", out_key="parcel_kod"
+    )
+    want = sorted(
+        (r["url"], r["parcel_kod"])
+        for r in built.apply(pages).select("url", "parcel_kod").collect()
+    )
+    idx_dir = str(tmp_path / "pip_index")
+    built.save_index(idx_dir)
+    for bc in (None, False):
+        loaded = PartitionedPIPJoiner.load_index(spark, idx_dir, broadcast_cover=bc)
+        assert loaded.res == built.res and loaded.gres == built.gres
+        got = sorted(
+            (r["url"], r["parcel_kod"])
+            for r in loaded.apply(pages).select("url", "parcel_kod").collect()
+        )
+        assert got == want, f"broadcast_cover={bc}"

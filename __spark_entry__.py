@@ -2719,6 +2719,32 @@ def q_sample_epochs(spark, sf_dir):
     )
 
 
+def q_sketch_bottomk_quantiles(spark, sf_dir):
+    """Bottom-k (KMV) quantile sketch per source: exact n_rows + rank-
+    indexed quantile estimates of doc length from the k rows with the
+    smallest 60-bit id hashes (operators/sketches.py). Three bounded
+    stages — map-side-combined counts, an integer threshold pre-filter
+    that passes ~oversample*k rows per group REGARDLESS of group size
+    (so the final cut's window never sees an unbounded partition), and
+    the tiny cut+index — replacing a full per-group sort at 10^12 rows.
+    k=8 / oversample=2 here so the sf0.01 fixture (25 docs/source)
+    exercises the threshold AND the cut; the DuckDB twin reproduces
+    hash, threshold, rank, and index arithmetic bit-for-bit."""
+    from gdal_vfr_spark.operators import sketches
+
+    docs = _read(spark, sf_dir, "documents")
+    lengths = docs.select("source", "doc_id", F.length("text").alias("n_chars"))
+    return sketches.bottomk_quantile_sketch(
+        lengths,
+        id_col="doc_id",
+        value_col="n_chars",
+        k=8,
+        oversample=2,
+        qs=(0.5, 0.9, 0.99),
+        group_cols=("source",),
+    ).orderBy("source")
+
+
 def q_sketch_hll_distinct(spark, sf_dir):
     """Mergeable HyperLogLog distinct-token sketch over the corpus
     (operators/sketches.py): md5-derived 60-bit hash -> 256 registers
@@ -3213,8 +3239,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      four session-cloned streaming helpers);
     #   2. the twelve r02-era queries the round-4 verdict flagged
     #      (their committed record is two windows old);
-    #   3. r03-era rows (now 2 rounds stale) — the first 31 fit the
-    #      50-row window; the 15 that overflow lead round 6;
+    #   3. r03-era rows (now 2 rounds stale) — the first 29 fit the
+    #      50-row window (two slots went to the brand-new
+    #      dedup_lsh_star / sketch_bottomk_quantiles); the 17 that
+    #      overflow lead round 6;
     #   4. r04-green rows at the back (1 round stale — their rows are
     #      committed in CORRECTNESS_r04.json).
     return {
@@ -3223,6 +3251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": q_multimodal_frames,
         "dedup_exact_substring": q_dedup_exact_substring,
         "dedup_lsh_star": q_dedup_lsh_star,
+        "sketch_bottomk_quantiles": q_sketch_bottomk_quantiles,
         "dedup_decontaminate_bloom": q_dedup_decontaminate_bloom,
         "stream_dedup": q_stream_dedup,
         "stream_minhash_dedup": q_stream_minhash_dedup,
@@ -3270,9 +3299,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s4_formats": q_s4_formats,
         "f9_dsn_extract": q_f9_dsn_extract,
         "f5_key_synthesis": q_f5_key_synthesis,
+        # ---- 50-row window boundary (the 17 below lead round 6) ----
         "a5_max_fid": q_a5_max_fid,
         "p2_key_lookup": q_p2_key_lookup,
-        # ---- 50-row window boundary (the 15 below lead round 6) ----
         "m3_merge_state": q_m3_merge_state,
         "so2_union": q_so2_union,
         "a1_pricing_summary": q_a1_pricing_summary,
@@ -3758,6 +3787,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(CASE WHEN n >= 1 THEN 1 END) AS BIGINT) AS n_docs,
                    CAST(sum(n * (n + 1) // 2) AS BIGINT) AS sum_copy_idx
             FROM n GROUP BY source HAVING sum(n) > 0 ORDER BY source
+        """,
+        "sketch_bottomk_quantiles": """
+            WITH base AS (
+              SELECT source, doc_id, length(text) AS v,
+                     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT AS BIGINT) AS h
+              FROM documents
+            ), stats AS (
+              SELECT source, count(*) AS n_rows FROM base GROUP BY source
+            ), samp AS (
+              SELECT b.source, b.doc_id, b.v, b.h, s.n_rows
+              FROM base b JOIN stats s USING (source)
+              WHERE b.h < CASE WHEN s.n_rows <= 16 THEN 1152921504606846976
+                          ELSE (1152921504606846976 // s.n_rows) * 16 END
+            ), cut AS (
+              SELECT source, n_rows, v,
+                     row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn
+              FROM samp
+            ), agg AS (
+              SELECT source, max(n_rows) AS n_rows, count(*) AS sample_n,
+                     list_sort(list(v)) AS vals
+              FROM cut WHERE rn <= 8 GROUP BY source
+            )
+            SELECT source, n_rows, sample_n,
+              vals[CAST(floor(0.5 * (sample_n - 1)) AS INT) + 1] AS q_50,
+              vals[CAST(floor(0.9 * (sample_n - 1)) AS INT) + 1] AS q_90,
+              vals[CAST(floor(0.99 * (sample_n - 1)) AS INT) + 1] AS q_99
+            FROM agg ORDER BY source
         """,
         "sketch_hll_distinct": f"""
             WITH toks AS (

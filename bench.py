@@ -87,6 +87,10 @@ HEADLINE = [
     "text_repetition",
     "dedup_exact_substring",
     "pipeline_clean",
+    # round-5 additions: capped-bucket LSH + bottom-k quantile sketch
+    # (floors in BASELINE.md)
+    "dedup_lsh_star",
+    "sketch_bottomk_quantiles",
 ]
 
 # 240M pages (vs the r1/r2 40M): interior-cell certification made the

@@ -436,3 +436,177 @@ def histogram_percentile(rows, q: float) -> float:
             return lo + frac * (hi - lo)
         seen += n
     return float(1 << hist[-1][0])
+
+
+# --- bottom-k quantile sketch --------------------------------------------
+#
+# The quantile member of the sketch family (HLL = distinct, CMS =
+# frequency, Bloom = membership, log2-histogram = coarse distribution):
+# exact-rank quantile estimates from a FIXED-size uniform row sample —
+# the k rows whose 60-bit id-hash is smallest ("bottom-k" / KMV
+# sampling). Bottom-k sets are exactly mergeable (the k smallest of a
+# union are among the union of each side's k smallest), so per-
+# partition / per-day sketches combine without re-reading data.
+#
+# Skew shape at 10^12 rows — three bounded stages, no window over an
+# unbounded partition:
+#   1. exact per-group counts: one map-side-combining groupBy (the
+#      counts are also the sketch's exact n_rows output);
+#   2. threshold pre-filter: keep rows with h < T_g where T_g =
+#      (2^60 div n_g) * (oversample*k) — map-only after a broadcast
+#      join of the tiny stats table, integer-exact in both engines,
+#      expected survivors oversample*k per group REGARDLESS of group
+#      size (the hot-group analogue of cell-frequency sampling);
+#   3. the final bottom-k cut + quantile indexing runs on those
+#      ~oversample*k survivors per group — the only window in the plan
+#      partitions over <= a few thousand rows by construction.
+
+BOTTOMK_K = 64
+BOTTOMK_OVS = 4
+_H60_MAX = 1 << 60
+
+
+def bottomk_quantile_sketch(
+    df: DataFrame,
+    id_col: str,
+    value_col: str,
+    k: int = BOTTOMK_K,
+    oversample: int = BOTTOMK_OVS,
+    qs=(0.5, 0.9, 0.99),
+    group_cols=(),
+) -> DataFrame:
+    """Per-group exact row count + rank-based quantile estimates of
+    `value_col` from a deterministic bottom-k-by-id-hash sample.
+
+    The sample is selected on hash(id), independent of the value, so it
+    is a uniform row sample; the q-quantile estimate is the sampled
+    value at rank floor(q*(s-1))+1 (no interpolation — the returned
+    value always occurs in the data, and the indexing is bit-identical
+    in the DuckDB twin). Output: group_cols..., n_rows (exact),
+    sample_n, q_<pct> per requested quantile.
+
+    Rows with NULL id hash never survive (md5 of NULL) — ids must be
+    non-null (documents contract). If a group has fewer than
+    oversample*k rows the threshold keeps everything and the sketch is
+    exact."""
+    from pyspark.sql import Window
+
+    groups = list(group_cols)
+    base = df.select(
+        *groups,
+        F.col(id_col).alias("__id"),
+        F.col(value_col).alias("__v"),
+    ).withColumn("__h", hash60_expr(F.col("__id")))
+    stats = base.groupBy(*groups).agg(F.count("*").alias("n_rows"))
+    if groups:
+        joined = base.join(F.broadcast(stats), on=groups)
+    else:
+        joined = base.crossJoin(F.broadcast(stats))
+    cut_rows = oversample * k
+    thr = F.when(F.col("n_rows") <= F.lit(cut_rows), F.lit(_H60_MAX)).otherwise(
+        F.expr(f"{_H60_MAX} div n_rows") * F.lit(cut_rows)
+    )
+    samp = joined.where(F.col("__h") < thr)
+    w = Window.partitionBy(*[F.col(g) for g in groups] or [F.lit(1)]).orderBy(
+        "__h", "__id"
+    )
+    cut = samp.withColumn("__rn", F.row_number().over(w)).where(
+        F.col("__rn") <= k
+    )
+    agg = cut.groupBy(*groups).agg(
+        F.first("n_rows").alias("n_rows"),
+        F.count("*").alias("sample_n"),
+        F.sort_array(F.collect_list("__v")).alias("__vals"),
+    )
+    qcols = [
+        F.element_at(
+            "__vals",
+            (F.floor(F.lit(float(q)) * (F.col("sample_n") - 1)) + 1).cast("int"),
+        ).alias(f"q_{int(round(q * 100))}")
+        for q in qs
+    ]
+    return agg.select(*groups, "n_rows", "sample_n", *qcols)
+
+
+def bottomk_sample(
+    df: DataFrame,
+    id_col: str,
+    value_col: str,
+    k: int = BOTTOMK_K,
+    oversample: int = BOTTOMK_OVS,
+    group_cols=(),
+) -> DataFrame:
+    """The sketch STATE: per-group (h, id, value) bottom-k sample rows
+    plus the exact partial count — what a per-snapshot pipeline stores
+    and later merges with bottomk_merge. Same three-stage shape as
+    bottomk_quantile_sketch."""
+    from pyspark.sql import Window
+
+    groups = list(group_cols)
+    base = df.select(
+        *groups, F.col(id_col).alias("__id"), F.col(value_col).alias("__v")
+    ).withColumn("__h", hash60_expr(F.col("__id")))
+    stats = base.groupBy(*groups).agg(F.count("*").alias("n_rows"))
+    if groups:
+        joined = base.join(F.broadcast(stats), on=groups)
+    else:
+        joined = base.crossJoin(F.broadcast(stats))
+    cut_rows = oversample * k
+    thr = F.when(F.col("n_rows") <= F.lit(cut_rows), F.lit(_H60_MAX)).otherwise(
+        F.expr(f"{_H60_MAX} div n_rows") * F.lit(cut_rows)
+    )
+    samp = joined.where(F.col("__h") < thr)
+    w = Window.partitionBy(*[F.col(g) for g in groups] or [F.lit(1)]).orderBy(
+        "__h", "__id"
+    )
+    return (
+        samp.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .select(*groups, "n_rows", "__h", "__id", "__v")
+    )
+
+
+def bottomk_merge(a: DataFrame, b: DataFrame, k: int = BOTTOMK_K, group_cols=()) -> DataFrame:
+    """Merge two bottomk_sample tables: union, re-cut to the k smallest
+    hashes per group, and sum the exact partial counts. Exactly the
+    sample bottomk_sample would have produced over the unioned inputs
+    (each side kept at least its k smallest hashes, and the union's k
+    smallest are among them). Preconditions: the two inputs cover
+    DISJOINT row sets (ids may not repeat across sides — counts are
+    summed), and each side's sample is full (sample count == k) or its
+    group was below the threshold cutover; a threshold-filtered side
+    with fewer than k survivors (probability ~exp(-oversample*k/8),
+    negligible at the defaults) could have discarded a union-bottom-k
+    row."""
+    from pyspark.sql import Window
+
+    groups = list(group_cols)
+    u = a.unionByName(b)
+    n_a = a.groupBy(*groups).agg(F.first("n_rows").alias("__na"))
+    n_b = b.groupBy(*groups).agg(F.first("n_rows").alias("__nb"))
+    if groups:
+        totals = n_a.join(n_b, on=groups, how="full").select(
+            *groups,
+            (F.coalesce("__na", F.lit(0)) + F.coalesce("__nb", F.lit(0))).alias(
+                "n_rows"
+            ),
+        )
+    else:
+        totals = n_a.crossJoin(n_b).select(
+            (F.coalesce("__na", F.lit(0)) + F.coalesce("__nb", F.lit(0))).alias(
+                "n_rows"
+            )
+        )
+    w = Window.partitionBy(*[F.col(g) for g in groups] or [F.lit(1)]).orderBy(
+        "__h", "__id"
+    )
+    cut = (
+        u.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn", "n_rows")
+    )
+    if groups:
+        return cut.join(F.broadcast(totals), on=groups).select(
+            *groups, "n_rows", "__h", "__id", "__v"
+        )
+    return cut.crossJoin(F.broadcast(totals)).select("n_rows", "__h", "__id", "__v")

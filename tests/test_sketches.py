@@ -206,3 +206,55 @@ def test_log2_histogram_and_percentile(spark):
     rows = sk.log2_histogram(df, "v").collect()
     p50 = sk.histogram_percentile(rows, 0.5)
     assert 4.0 <= p50 <= 8.0  # the median (7) lives in bin 3 = [4, 8)
+
+
+def test_bottomk_quantile_sketch_python_twin(spark):
+    """The sketch's sample selection and rank indexing match a pure-
+    python twin exactly (hash threshold, bottom-k cut, floor-rank
+    quantile), and the exact count survives the sampling."""
+    n = 400
+    rows = [(i, "s%d" % (i % 4), (i * 37) % 997) for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, v long")
+    k, ovs = 8, 2
+    out = {
+        r["source"]: r
+        for r in sk.bottomk_quantile_sketch(
+            df, id_col="doc_id", value_col="v", k=k, oversample=ovs,
+            qs=(0.5, 0.9), group_cols=("source",),
+        ).collect()
+    }
+    h60 = lambda i: int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+    for src in ("s0", "s1", "s2", "s3"):
+        grp = [(i, v) for i, s, v in rows if s == src]
+        n_g = len(grp)
+        thr = ((1 << 60) // n_g) * (ovs * k) if n_g > ovs * k else (1 << 60)
+        samp = sorted(
+            ((h60(i), i, v) for i, v in grp if h60(i) < thr)
+        )[:k]
+        vals = sorted(v for _, _, v in samp)
+        s = len(vals)
+        assert out[src]["n_rows"] == n_g
+        assert out[src]["sample_n"] == s
+        import math
+        assert out[src]["q_50"] == vals[math.floor(0.5 * (s - 1))]
+        assert out[src]["q_90"] == vals[math.floor(0.9 * (s - 1))]
+
+
+def test_bottomk_merge_equals_whole(spark):
+    """Snapshot mergeability: bottomk_merge over two disjoint halves
+    equals bottomk_sample over the union — same sample rows, summed
+    exact counts."""
+    rows = [(i, "g%d" % (i % 2), i * 13 % 503) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, g string, v long")
+    a = df.where("doc_id < 150")
+    b = df.where("doc_id >= 150")
+    k = 16
+    whole = sk.bottomk_sample(df, "doc_id", "v", k=k, group_cols=("g",))
+    merged = sk.bottomk_merge(
+        sk.bottomk_sample(a, "doc_id", "v", k=k, group_cols=("g",)),
+        sk.bottomk_sample(b, "doc_id", "v", k=k, group_cols=("g",)),
+        k=k,
+        group_cols=("g",),
+    )
+    key = lambda r: (r["g"], r["n_rows"], r["__h"], r["__id"], r["__v"])
+    assert sorted(map(key, merged.collect())) == sorted(map(key, whole.collect()))

@@ -2006,6 +2006,107 @@ def q_web_cap_per_domain(spark, sf_dir):
     )
 
 
+# UT1/RefinedWeb-style domain blocklist: exact hosts AND whole
+# registered domains; subdomains of a blocked domain fall with it.
+# gamma.org + cdn.gamma.org together exercise the most-specific-match
+# rule (the cdn host matches both; cdn.gamma.org must win).
+_BLOCKED_DOMAINS = [
+    "beta.co.uk",
+    "gamma.org",
+    "cdn.gamma.org",
+    "delta-portal.cz",
+    "example.ac.uk",
+]
+
+
+def q_web_blocklist(spark, sf_dir):
+    """Domain-blocklist hits over the synthesized URLs (functions/
+    urls.py:blocklist_hits — UT1/RefinedWeb URL-filter semantics): a
+    doc is blocked when its host IS a listed domain or is a SUBDOMAIN
+    of one; the most specific matched rule is reported. Scale shape:
+    host -> bounded suffix-chain explode -> bare equi-join against the
+    blocklist (broadcast at 10^4 rules, shuffle equi-join at UT1's
+    10^6 — never a regex scan over the list). 6 of the 8 fixture hosts
+    hit, via exact, parent-domain, and overlapping-rule paths."""
+    from gdal_vfr_spark.functions import urls as url_fns
+
+    df = _web_urls_df(spark, sf_dir)
+    blocked = spark.createDataFrame(
+        [(d,) for d in _BLOCKED_DOMAINS], "domain string"
+    )
+    return url_fns.blocklist_hits(df, blocked).orderBy("doc_id")
+
+
+def _multiline_docs(spark, sf_dir):
+    """documents rewritten as deterministic 5-line pages (the fixture
+    text has no newlines): a unique content line, a javascript banner,
+    an alternating footer (rights / cookie notice), an unpunctuated
+    nav stub, and a too-short line — one of each line-rule failure
+    mode plus corpus-global boilerplate for the strip operator."""
+    docs = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    l1 = F.concat(F.substring("text", 1, 40), F.lit(" doc "), did, F.lit("."))
+    l2 = F.lit("Enable javascript to continue.")
+    l3 = F.when(
+        F.col("doc_id") % 2 == 0, F.lit("All rights reserved.")
+    ).otherwise(F.lit("Visit our cookie policy."))
+    l4 = F.concat(F.lit("doc "), did, F.lit(" navigation"))
+    l5 = F.lit("Short one.")
+    return docs.select(
+        "doc_id", F.concat_ws("\n", l1, l2, l3, l4, l5).alias("text")
+    )
+
+
+_MULTILINE_SQL = """
+        SELECT doc_id,
+               substr(text, 1, 40) || ' doc ' || CAST(doc_id AS VARCHAR) || '.'
+               || chr(10) || 'Enable javascript to continue.'
+               || chr(10) || CASE WHEN doc_id % 2 = 0
+                                  THEN 'All rights reserved.'
+                                  ELSE 'Visit our cookie policy.' END
+               || chr(10) || 'doc ' || CAST(doc_id AS VARCHAR) || ' navigation'
+               || chr(10) || 'Short one.' AS text
+        FROM documents
+"""
+
+
+def q_text_clean_lines(spark, sf_dir):
+    """C4-style line-rule rewrite (operators/text.py:clean_lines): a
+    line survives iff it has >= 3 words, ends in terminal punctuation,
+    and carries no blocked marker (javascript / lorem ipsum / cookie).
+    Map-only — one higher-order filter projection, no Python, no
+    shuffle; composes with the doc-level gates at any corpus size.
+    Fixture: the content line always survives, the even-doc footer
+    survives, everything else falls to exactly one rule each."""
+    from gdal_vfr_spark.operators import text as text_ops
+
+    ml = _multiline_docs(spark, sf_dir)
+    return (
+        text_ops.clean_lines(ml, text_col="text")
+        .select("doc_id", "n_lines", "n_kept", "keep_doc", "clean_text")
+        .orderBy("doc_id")
+    )
+
+
+def q_dedup_strip_boilerplate(spark, sf_dir):
+    """Corpus-global boilerplate-line removal (operators/dedup.py:
+    strip_boilerplate_lines — the line-granularity sibling of
+    exact_substring_spans): every non-blank line occurring in >= 2
+    DISTINCT docs is stripped from all of them, survivor order
+    preserved. Skew shape: distinct over (doc, line-hash) pairs, then
+    a map-side-combining groupBy on the hash — never a window over the
+    line hash — and the hot set (boilerplate only, small by
+    construction) broadcasts back into a narrow anti-join."""
+    from gdal_vfr_spark.operators import dedup as dedup_ops
+
+    ml = _multiline_docs(spark, sf_dir)
+    return (
+        dedup_ops.strip_boilerplate_lines(ml, text_col="text", min_docs=2)
+        .select("doc_id", "n_kept_lines", "clean_text")
+        .orderBy("doc_id")
+    )
+
+
 def q_web_url_canonicalize(spark, sf_dir):
     """URL canonicalization for crawl dedup (engine addition): messy
     synthesized URLs (uppercase scheme/host, default :443 ports,
@@ -3239,9 +3340,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      four session-cloned streaming helpers);
     #   2. the twelve r02-era queries the round-4 verdict flagged
     #      (their committed record is two windows old);
-    #   3. r03-era rows (now 2 rounds stale) — the first 29 fit the
-    #      50-row window (two slots went to the brand-new
-    #      dedup_lsh_star / sketch_bottomk_quantiles); the 17 that
+    #   3. r03-era rows (now 2 rounds stale) — the first 26 fit the
+    #      50-row window (five slots went to the brand-new
+    #      dedup_lsh_star / sketch_bottomk_quantiles / web_blocklist /
+    #      text_clean_lines / dedup_strip_boilerplate); the 20 that
     #      overflow lead round 6;
     #   4. r04-green rows at the back (1 round stale — their rows are
     #      committed in CORRECTNESS_r04.json).
@@ -3252,6 +3354,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_substring": q_dedup_exact_substring,
         "dedup_lsh_star": q_dedup_lsh_star,
         "sketch_bottomk_quantiles": q_sketch_bottomk_quantiles,
+        "web_blocklist": q_web_blocklist,
+        "text_clean_lines": q_text_clean_lines,
+        "dedup_strip_boilerplate": q_dedup_strip_boilerplate,
         "dedup_decontaminate_bloom": q_dedup_decontaminate_bloom,
         "stream_dedup": q_stream_dedup,
         "stream_minhash_dedup": q_stream_minhash_dedup,
@@ -3269,7 +3374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p5_list_downgrade": q_p5_list_downgrade,
         "f7_regex_extract": q_f7_regex_extract,
         "p6_align_schema": q_p6_align_schema,
-        # --- (3) r03-era rows, 2 rounds stale (first 31 in-window) ---
+        # --- (3) r03-era rows, 2 rounds stale (first 26 in-window) ---
         "geo_pip_parcely_large": q_geo_pip_parcely_large,
         "web_url_canonicalize": q_web_url_canonicalize,
         "text_bm25_topk": q_text_bm25_topk,
@@ -3296,10 +3401,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "web_domain_stats": q_web_domain_stats,
         "web_cap_per_domain": q_web_cap_per_domain,
+        # ---- 50-row window boundary (the 20 below lead round 6) ----
         "s4_formats": q_s4_formats,
         "f9_dsn_extract": q_f9_dsn_extract,
         "f5_key_synthesis": q_f5_key_synthesis,
-        # ---- 50-row window boundary (the 17 below lead round 6) ----
         "a5_max_fid": q_a5_max_fid,
         "p2_key_lookup": q_p2_key_lookup,
         "m3_merge_state": q_m3_merge_state,
@@ -4685,5 +4790,65 @@ def oracle_sql() -> dict[str, str]:
                     ORDER BY n_chars DESC, doc_id) AS rn
                   FROM parts)
             WHERE rn <= 3 ORDER BY registered_domain, doc_id
+        """,
+        "web_blocklist": f"""
+            WITH hosts AS (
+              SELECT doc_id,
+                     lower(regexp_extract(url,
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)',
+                       1)) AS host
+              FROM ({_web_urls_sql()})
+            ), sfx AS (
+              SELECT doc_id, host,
+                     unnest(list_transform(generate_series(1, len(l)),
+                            i -> array_to_string(l[i:], '.'))) AS s
+              FROM (SELECT doc_id, host, string_split(host, '.') AS l
+                    FROM hosts)
+            ), rules AS (
+              SELECT unnest([{", ".join(f"'{d}'" for d in _BLOCKED_DOMAINS)}]) AS s
+            )
+            SELECT doc_id, host, arg_max(s, length(s)) AS matched_domain
+            FROM sfx JOIN rules USING (s)
+            GROUP BY doc_id, host ORDER BY doc_id
+        """,
+        "text_clean_lines": f"""
+            WITH ml AS ({_MULTILINE_SQL}), split AS (
+              SELECT doc_id, string_split(text, chr(10)) AS lines FROM ml
+            ), kept AS (
+              SELECT doc_id, len(lines) AS n_lines,
+                     list_filter(lines, l ->
+                       len(string_split_regex(trim(l), '\\s+')) >= 3
+                       AND right(rtrim(l), 1) IN ('.', '!', '?', '"', '''')
+                       AND NOT contains(lower(l), 'javascript')
+                       AND NOT contains(lower(l), 'lorem ipsum')
+                       AND NOT contains(lower(l), 'cookie')) AS ks
+              FROM split
+            )
+            SELECT doc_id, n_lines, len(ks) AS n_kept,
+                   CAST(len(ks) >= 1 AS INT) AS keep_doc,
+                   array_to_string(ks, chr(10)) AS clean_text
+            FROM kept ORDER BY doc_id
+        """,
+        "dedup_strip_boilerplate": f"""
+            WITH ml AS ({_MULTILINE_SQL}), pos AS (
+              SELECT doc_id,
+                     unnest(string_split(text, chr(10))) AS l,
+                     unnest(generate_series(1, len(string_split(text, chr(10))))) AS p
+              FROM ml
+            ), nz AS (
+              SELECT * FROM pos WHERE trim(l) <> ''
+            ), hot AS (
+              SELECT lh FROM (SELECT DISTINCT doc_id, md5(l) AS lh FROM nz)
+              GROUP BY lh HAVING count(*) >= 2
+            ), rebuilt AS (
+              SELECT doc_id, count(*) AS n_kept_lines,
+                     string_agg(l, chr(10) ORDER BY p) AS clean_text
+              FROM nz WHERE md5(l) NOT IN (SELECT lh FROM hot)
+              GROUP BY doc_id
+            )
+            SELECT m.doc_id,
+                   CAST(coalesce(r.n_kept_lines, 0) AS BIGINT) AS n_kept_lines,
+                   coalesce(r.clean_text, '') AS clean_text
+            FROM ml m LEFT JOIN rebuilt r USING (doc_id) ORDER BY m.doc_id
         """,
     }

@@ -91,6 +91,11 @@ HEADLINE = [
     # (floors in BASELINE.md)
     "dedup_lsh_star",
     "sketch_bottomk_quantiles",
+    # corpus-global line dedup (distinct + map-side-combined count +
+    # anti-join + positional reassembly — the only new-op with real
+    # shuffles; web_blocklist / text_clean_lines are map-only
+    # projections and stay out of the headline)
+    "dedup_strip_boilerplate",
 ]
 
 # 240M pages (vs the r1/r2 40M): interior-cell certification made the
@@ -312,7 +317,10 @@ def _historical_floors() -> dict[str, float]:
                 rec = json.load(f)
         except (OSError, ValueError):
             continue
-        for k, v in (rec.get("queries") or {}).items():
+        # the driver wraps the bench JSON line under "parsed"; a raw
+        # bench line carries "queries" at the top level
+        queries = (rec.get("parsed") or rec).get("queries") or {}
+        for k, v in queries.items():
             if isinstance(v, (int, float)) and v > 0:
                 floors[k] = min(floors.get(k, v), float(v))
     return floors

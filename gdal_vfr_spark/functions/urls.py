@@ -121,6 +121,67 @@ def canonicalize_url_expr(url: Column | str) -> Column:
     )
 
 
+def host_suffixes_expr(host: Column | str) -> Column:
+    """All domain suffixes of a host, most-specific first:
+    a.b.co.uk -> [a.b.co.uk, b.co.uk, co.uk, uk]. The length of the
+    array is the host's label count (bounded ~4-6 in real crawls), so
+    exploding it is a constant per-row fan-out. Pure Catalyst
+    (sequence + slice inside transform), stays in codegen."""
+    host = F.col(host) if isinstance(host, str) else host
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    return F.transform(
+        F.sequence(F.lit(1), n), lambda i: F.array_join(F.slice(labels, i, n), ".")
+    )
+
+
+def blocklist_hits(
+    df: DataFrame,
+    blocked: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    domain_col: str = "domain",
+) -> DataFrame:
+    """(id, host, matched_domain) for every document whose URL host IS
+    a blocked domain or is a SUBDOMAIN of one — the UT1/RefinedWeb-style
+    URL filter semantics (block "casino.example" and
+    "ads.casino.example" falls with it).
+
+    Scale shape: the host explodes into its suffix chain (bounded
+    label-count rows per doc) and equi-joins the blocklist on the bare
+    suffix — never a regex/LIKE scan over the list. Catalyst broadcasts
+    the typical 10^4-row list; a UT1-scale 10^6-row list falls back to
+    a shuffle equi-join on the suffix key, which AQE handles like any
+    narrow join. When several block rules cover one host the most
+    specific (longest) matched domain is reported; suffixes of one host
+    have strictly decreasing lengths, so max_by is deterministic."""
+    parts = with_url_parts(df, url_col)
+    sfx = parts.select(
+        id_col,
+        "host",
+        F.explode(host_suffixes_expr(F.col("host"))).alias("__sfx"),
+    )
+    rules = blocked.select(F.col(domain_col).alias("__sfx")).distinct()
+    hits = sfx.join(rules, on="__sfx")
+    return hits.groupBy(id_col, "host").agg(
+        F.max_by("__sfx", F.length("__sfx")).alias("matched_domain")
+    )
+
+
+def blocklist_filter(
+    df: DataFrame,
+    blocked: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    domain_col: str = "domain",
+) -> DataFrame:
+    """Documents surviving the domain blocklist (anti-join on the hit
+    id set — the corpus side stays full-width only through a narrow
+    key join, text never shuffles twice)."""
+    hits = blocklist_hits(df, blocked, url_col, id_col, domain_col)
+    return df.join(hits.select(id_col), on=id_col, how="left_anti")
+
+
 def with_url_parts(df: DataFrame, url_col: str = "url") -> DataFrame:
     """Append host + registered_domain columns (chained projections —
     stays inside whole-stage codegen like the text ops)."""

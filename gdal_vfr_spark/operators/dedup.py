@@ -870,3 +870,81 @@ def exact_substring_spans(
         F.sum("n_wins").cast("long").alias("n_dup_windows"),
         F.sum(F.col("s1") - F.col("s0") + F.lit(L)).cast("long").alias("dup_tokens"),
     ).withColumn("n_words", F.col("n_words").cast("long"))
+
+
+# --- corpus-global boilerplate-line removal -------------------------------
+#
+# The line-granularity sibling of exact_substring_spans: nav bars,
+# footers and cookie notices repeat VERBATIM as whole lines across
+# millions of pages (RefinedWeb/MassiveText both strip them line-wise
+# before any document-level dedup). Removing a line needs corpus-global
+# evidence — a line is boilerplate because OTHER documents carry it —
+# so the plan must count line occurrences across the corpus without
+# ever putting one hot line's occurrences in a single task.
+
+
+def boilerplate_line_hashes(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+) -> DataFrame:
+    """(line md5, n_docs) for every non-blank line occurring in >=
+    min_docs DISTINCT documents. Two skew-safe shuffles: distinct over
+    (doc, hash) pairs (hash-partitioned on BOTH columns, so a line
+    repeated in 10^8 docs spreads across the cluster), then a map-side-
+    combining groupBy on the hash — never a window over the line hash
+    (the exact_substring_spans lesson)."""
+    lines = docs.select(
+        F.col(id_col).alias("__d"),
+        F.explode(F.split(F.col(text_col), "\n")).alias("__l"),
+    ).where(F.trim("__l") != "")
+    keyed = lines.select("__d", F.md5(F.col("__l")).alias("__lh")).distinct()
+    return (
+        keyed.groupBy("__lh")
+        .agg(F.count("*").alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+    )
+
+
+def strip_boilerplate_lines(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """Rewrite every document with its corpus-boilerplate lines removed
+    (lines occurring in >= min_docs distinct docs), preserving the
+    order of survivors. Blank lines are dropped too (they carry no
+    content and would otherwise alias across docs).
+
+    Plan: posexplode -> narrow (id, position, hash) anti-join against
+    the hot-hash set (small by construction — only boilerplate hashes
+    survive the threshold, so Catalyst broadcasts it) -> one groupBy(id)
+    to reassemble in position order. The full text column crosses the
+    wire once, in doc-sized groups keyed by the near-unique doc id.
+    Documents whose every line was boilerplate come back with
+    out_col = '' and n_kept_lines = 0 (left join keeps them)."""
+    hot = boilerplate_line_hashes(
+        docs, text_col=text_col, id_col=id_col, min_docs=min_docs
+    ).select("__lh")
+    pos = docs.select(
+        F.col(id_col), F.posexplode(F.split(F.col(text_col), "\n")).alias("__p", "__l")
+    ).where(F.trim("__l") != "")
+    keep = pos.withColumn("__lh", F.md5("__l")).join(hot, on="__lh", how="left_anti")
+    rebuilt = keep.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__p", "__l"))),
+                lambda s: s["__l"],
+            ),
+            "\n",
+        ).alias(out_col),
+        F.count("*").alias("n_kept_lines"),
+    )
+    return (
+        docs.join(rebuilt, on=id_col, how="left")
+        .withColumn(out_col, F.coalesce(F.col(out_col), F.lit("")))
+        .withColumn("n_kept_lines", F.coalesce("n_kept_lines", F.lit(0)))
+    )

@@ -490,3 +490,69 @@ def repetition_stats(
         & (F.col(f"dup{dup_n}_chars") * 20 <= F.col("word_chars") * 3)
     )
     return agg.withColumn("keep_repetition", keep.cast("int"))
+
+
+# --- line-level cleaning (C4 §2.2 / RefinedWeb line-wise filters) --------
+#
+# Web pages carry structural junk BETWEEN good sentences: nav stubs,
+# "enable javascript" banners, cookie notices, short menu fragments.
+# Document-level filters can't remove them without dropping the whole
+# page; line-level rules rewrite the text. Both operators below keep
+# the text column map-only where possible and only ever shuffle narrow
+# (hash, count) keys — the reference's analogue is the per-feature
+# geometry-column rewrite chain (vfr4ogr/vfrogr.py:737-776 modifyFeature),
+# re-expressed for per-line text rewriting.
+
+LINE_BLOCK_MARKERS = ("javascript", "lorem ipsum", "cookie")
+_TERMINAL = (".", "!", "?", '"', "'")
+
+
+def clean_lines_expr(
+    text,
+    min_words: int = 3,
+    markers: tuple = LINE_BLOCK_MARKERS,
+) -> F.Column:
+    """Array of surviving lines of `text` under the C4 line rules:
+    a line survives iff it has >= min_words whitespace words, ends in
+    terminal punctuation (. ! ? " ' after rtrim), and contains no
+    blocked marker substring (case-insensitive). Pure Catalyst
+    higher-order filter — one projection, no Python, no shuffle."""
+    text = F.col(text) if isinstance(text, str) else text
+    lines = F.split(text, "\n")
+
+    def _keep(l):
+        t = F.trim(l)
+        wordy = F.size(F.split(t, r"\s+")) >= min_words
+        punct = F.substring(F.rtrim(l), -1, 1).isin(*_TERMINAL)
+        low = F.lower(l)
+        marked = None
+        for m in markers:
+            hit = low.contains(F.lit(m))
+            marked = hit if marked is None else (marked | hit)
+        return wordy & punct & (~marked if marked is not None else F.lit(True))
+
+    return F.filter(lines, _keep)
+
+
+def clean_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 3,
+    min_lines: int = 1,
+    markers: tuple = LINE_BLOCK_MARKERS,
+) -> DataFrame:
+    """Per-document line-rule rewrite: appends n_lines (original),
+    n_kept, keep_doc (1 iff n_kept >= min_lines) and clean_text (the
+    surviving lines rejoined). Map-only — a projection chain over the
+    text column; at 100 TB this is the same shape as any other text
+    scan stage and composes with the doc-level gates."""
+    kept = clean_lines_expr(text_col, min_words=min_words, markers=markers)
+    out = df.withColumn("__kept", kept)
+    return (
+        out.withColumn("n_lines", F.size(F.split(F.col(text_col), "\n")))
+        .withColumn("n_kept", F.size("__kept"))
+        .withColumn("keep_doc", (F.col("n_kept") >= min_lines).cast("int"))
+        .withColumn("clean_text", F.array_join("__kept", "\n"))
+        .drop("__kept")
+    )

@@ -952,3 +952,60 @@ def test_lsh_max_bucket_component_preserving(spark):
         tuple(r) for r in uncapped.collect() if r["id_a"] not in hot
     )
     assert small_cap == small_un
+
+
+def test_clean_lines_rules(spark):
+    """Each C4 line rule fires independently: word count, terminal
+    punctuation, marker substrings; survivors keep their order and
+    keep_doc reflects min_lines."""
+    from gdal_vfr_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2],
+                "text": [
+                    "A good first line.\nEnable javascript now.\n"
+                    "short stub\nAnother good line!\nNo punct here at all",
+                    "We use cookie banners.\nnav",
+                ],
+            }
+        )
+    )
+    out = {r["doc_id"]: r for r in text_ops.clean_lines(docs).collect()}
+    assert out[1]["n_lines"] == 5 and out[1]["n_kept"] == 2
+    assert out[1]["clean_text"] == "A good first line.\nAnother good line!"
+    assert out[1]["keep_doc"] == 1
+    # doc 2: line 1 has a marker, line 2 fails word count -> doc dies
+    assert out[2]["n_kept"] == 0 and out[2]["keep_doc"] == 0
+    assert out[2]["clean_text"] == ""
+
+
+def test_strip_boilerplate_lines(spark):
+    """Lines in >= min_docs DISTINCT docs are stripped everywhere
+    (a within-doc repeat alone does not qualify), survivor order is
+    preserved, and a fully-boilerplate doc returns empty, not absent."""
+    from gdal_vfr_spark.operators import dedup as dd
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "unique alpha\nAll rights reserved.\nunique beta",
+                    "All rights reserved.\nonly here\nonly here",
+                    "All rights reserved.",
+                ],
+            }
+        )
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dd.strip_boilerplate_lines(docs, min_docs=2).collect()
+    }
+    assert out[1]["clean_text"] == "unique alpha\nunique beta"
+    assert out[1]["n_kept_lines"] == 2
+    # 'only here' repeats WITHIN doc 2 but exists in only 1 doc -> kept
+    assert out[2]["clean_text"] == "only here\nonly here"
+    assert out[2]["n_kept_lines"] == 2
+    assert out[3]["clean_text"] == "" and out[3]["n_kept_lines"] == 0

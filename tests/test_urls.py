@@ -86,3 +86,53 @@ def test_canonicalize_url_cases(spark):
     got = [r["c"] for r in df.select(canonicalize_url_expr("url").alias("c")).collect()]
     for (u, want), g in zip(cases, got):
         assert g == want, (u, g, want)
+
+
+def test_blocklist_suffix_semantics(spark):
+    """Exact-host, parent-domain, and overlapping-rule matches; the
+    most specific matched domain is reported; unlisted hosts and
+    LOOK-ALIKE hosts (evilgamma.org — not a subdomain) survive."""
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4, 5, 6],
+                "url": [
+                    "https://media.beta.co.uk/a",      # subdomain of blocked
+                    "https://gamma.org/b",             # exact domain
+                    "https://CDN.gamma.org/c",         # matches 2 rules
+                    "https://evilgamma.org/d",         # look-alike, survives
+                    "https://www.alpha-news.com/e",    # unlisted, survives
+                    "http://user:pw@x.delta-portal.cz:8080/f",  # authority noise
+                ],
+            }
+        )
+    )
+    blocked = spark.createDataFrame(
+        pd.DataFrame({"domain": ["beta.co.uk", "gamma.org", "cdn.gamma.org",
+                                 "delta-portal.cz"]})
+    )
+    hits = {
+        r["doc_id"]: r["matched_domain"]
+        for r in urls.blocklist_hits(docs, blocked).collect()
+    }
+    assert hits == {
+        1: "beta.co.uk",
+        2: "gamma.org",
+        3: "cdn.gamma.org",  # most specific of the two matching rules
+        6: "delta-portal.cz",
+    }
+    survivors = sorted(
+        r["doc_id"] for r in urls.blocklist_filter(docs, blocked).collect()
+    )
+    assert survivors == [4, 5]
+
+
+def test_host_suffixes_expr(spark):
+    df = spark.createDataFrame(pd.DataFrame({"h": ["a.b.co.uk", "x", ""]}))
+    got = {
+        r["h"]: r["s"]
+        for r in df.select("h", urls.host_suffixes_expr("h").alias("s")).collect()
+    }
+    assert got["a.b.co.uk"] == ["a.b.co.uk", "b.co.uk", "co.uk", "uk"]
+    assert got["x"] == ["x"]
+    assert got[""] == [""]

@@ -2562,6 +2562,25 @@ def q_dedup_decontaminate_bloom(spark, sf_dir):
     return dedup.decontaminate_bloom(docs, bench, n=13).orderBy("doc_id")
 
 
+def plan_variants() -> dict:
+    """Explain-only variants for tools/explain_audit.py: same logical
+    work as the queries() entry, built WITHOUT the execution-time
+    materialization that hides the plan (localCheckpoint shows as Scan
+    ExistingRDD). Never consumed by the driver or the oracle gate;
+    result parity with the production path is pinned in pytest."""
+
+    def bloom_plan(spark, sf_dir):
+        docs = _read(spark, sf_dir, "documents")
+        bench = docs.where(F.col("doc_id") % 50 == 7).select(
+            F.substring("text", 10, 200).alias("text")
+        )
+        return dedup.decontaminate_bloom(docs, bench, n=13, checkpoint=False).orderBy(
+            "doc_id"
+        )
+
+    return {"dedup_decontaminate_bloom": bloom_plan}
+
+
 def q_dedup_keep_best(spark, sf_dir):
     """Cluster-level representative policy: within each near-dup
     connected component keep the HIGHEST-QUALITY document (ties to the

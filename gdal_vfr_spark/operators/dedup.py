@@ -728,6 +728,7 @@ def decontaminate_bloom(
     text_col: str = "text",
     id_col: str = "doc_id",
     bench_text_col: str = "text",
+    checkpoint: bool = True,
 ) -> DataFrame:
     """decontaminate() with a Bloom pre-filter — SAME result, different
     physical shape for when the benchmark shingle set outgrows an
@@ -759,13 +760,27 @@ def decontaminate_bloom(
     # (contaminated docs only), so the checkpoint blocks are tiny and
     # are cleaned by the ContextCleaner when the returned DataFrame
     # is garbage-collected — then bench is unpersisted.
-    bench = (
-        word_shingle_hash_rows(
-            benchmark.select(F.col(bench_text_col).alias("__t")), "__t", None, n
+    bench_lazy = word_shingle_hash_rows(
+        benchmark.select(F.col(bench_text_col).alias("__t")), "__t", None, n
+    ).distinct()
+    if not checkpoint:
+        # Plan-visibility mode (tools/explain_audit.py): no persist, no
+        # checkpoint — the returned LAZY plan shows the full physical
+        # shape (bloom bit_or build, broadcast probe, confirm join)
+        # that the checkpointed production path executes but hides
+        # behind Scan ExistingRDD. The bench shingle pass is NOT
+        # cached here, so each consumer action recomputes it — use for
+        # explain or one-shot runs only (result-parity with the
+        # default path is pinned in tests/test_sketches.py).
+        bloom = bloom_build(bench_lazy, "__sh")
+        probe = word_shingle_hash_rows(docs, text_col, id_col, n)
+        survivors = bloom_probe(probe, "__sh", bloom)
+        return (
+            survivors.join(bench_lazy, "__sh")
+            .groupBy(id_col)
+            .agg(F.count("*").alias("n_contaminated"))
         )
-        .distinct()
-        .persist()
-    )
+    bench = bench_lazy.persist()
     try:
         bench.count()
         bloom = bloom_build(bench, "__sh")

@@ -258,3 +258,31 @@ def test_bottomk_merge_equals_whole(spark):
     )
     key = lambda r: (r["g"], r["n_rows"], r["__h"], r["__id"], r["__v"])
     assert sorted(map(key, merged.collect())) == sorted(map(key, whole.collect()))
+
+
+def test_decontaminate_bloom_plan_variant_parity(spark):
+    """checkpoint=False (the explain-audit plan-visibility mode) must
+    return exactly the production path's rows — same logical work,
+    materialization only differs."""
+    import pandas as pd
+
+    from gdal_vfr_spark.operators import dedup as dd
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": range(40),
+                "text": [
+                    " ".join(f"w{(i * 7 + j) % 23}" for j in range(30))
+                    for i in range(40)
+                ],
+            }
+        )
+    )
+    bench = docs.where("doc_id % 10 = 3").select("text")
+    key = lambda r: (r["doc_id"], r["n_contaminated"])
+    prod = sorted(map(key, dd.decontaminate_bloom(docs, bench, n=5).collect()))
+    lazy = sorted(
+        map(key, dd.decontaminate_bloom(docs, bench, n=5, checkpoint=False).collect())
+    )
+    assert prod == lazy and len(prod) > 0

@@ -171,6 +171,25 @@ AUDIT = [
     # cleaning verdict: content-hash window + repetition's two aggs +
     # two doc_id joins + tiny rollup; all JVM
     ("pipeline_clean", dict(max_python=0, max_shuffles=8)),
+    # capped-bucket LSH: minhash budget + the bucket-stats groupBy
+    # (map-side combined, joined back — never a window) + the
+    # small/star branch union's distinct; 2 of the 7 exchanges are the
+    # cached signature relation's inline build plan (execute once)
+    ("dedup_lsh_star", dict(max_python=2, max_shuffles=7)),
+    # bottom-k quantiles: stats agg exchange (broadcast back) + the
+    # post-threshold window exchange (WindowGroupLimit-pre-limited);
+    # final agg reuses the window's partitioning
+    ("sketch_bottomk_quantiles", dict(max_python=0, max_shuffles=3)),
+    # blocklist: suffix explode is map-side; rules distinct + final
+    # (doc, host) agg + contract orderBy; rules side broadcasts
+    ("web_blocklist", dict(max_python=0, want_broadcast=True, max_shuffles=4)),
+    # line rules: one higher-order filter projection; the only
+    # exchange is the contract orderBy
+    ("text_clean_lines", dict(max_python=0, max_shuffles=1)),
+    # boilerplate strip: (doc, hash) distinct + hash groupBy + hot-set
+    # anti-join (broadcast) + doc reassembly agg + outer join back +
+    # contract orderBy
+    ("dedup_strip_boilerplate", dict(max_python=0, max_shuffles=7)),
 ]
 
 
@@ -181,7 +200,10 @@ def main() -> int:
     sections = ["# PLANS — physical-plan audit (generated by tools/explain_audit.py)\n"]
     problems = []
     for name, want in AUDIT:
-        df = qs[name](spark, sf_dir)
+        # explain-only variants expose plans that the production path
+        # hides behind an execution-time localCheckpoint
+        variants = getattr(entrymod, "plan_variants", dict)()
+        df = (variants.get(name) or qs[name])(spark, sf_dir)
         import contextlib
         import io
 

@@ -2525,6 +2525,98 @@ def q_pipeline_clean(spark, sf_dir):
     )
 
 
+# pipeline_clean_full fixtures: a 2-domain blocklist (25% of hosts, so
+# downstream gates still see volume), a shared 43-word page body that
+# PASSES quality (so the duplicate gate, not low_quality, claims its
+# cluster), and a 61-word spam repetition that passes quality but
+# fails the Gopher gate.
+_PIPE_BLOCKED = ["cdn.gamma.org", "example.ac.uk"]
+_PIPE_SHARED_LINE = (
+    "the quick brown fox jumps over the lazy dog near the river bank "
+    "while the sun sets slowly behind old hills and children play in "
+    "the quiet park with friends from school until dinner time calls "
+    "them home for warm bread."
+)
+
+
+def q_pipeline_clean_full(spark, sf_dir):
+    """Full-stack corpus-cleaning verdict — pipeline_clean widened with
+    the round-5 gates, in pipeline order: domain blocklist (UT1-style
+    suffix join over synthesized URLs) -> C4 line rules over a
+    synthesized 2-line page wrapping the doc text (every 7th doc's
+    content line lacks terminal punctuation, so the whole page dies at
+    the line gate) -> exact dedup over the CLEANED text (the rank
+    window runs only over docs with surviving lines — the '' group
+    never becomes a window partition) -> quality -> repetition.
+    Precedence assigns each doc its FIRST failing gate; output is the
+    per-(source, reason) attrition table. All gates are the already
+    oracle-exact operators composed; new shuffles beyond
+    pipeline_clean's are the suffix-chain broadcast join and the
+    map-only line projection — nothing that grows with corpus size."""
+    from pyspark.sql import Window
+
+    from gdal_vfr_spark.functions import urls as url_fns
+
+    docs = _read(spark, sf_dir, "documents")
+    blocked = spark.createDataFrame(
+        [(d,) for d in _PIPE_BLOCKED], "domain string"
+    )
+    hits = url_fns.blocklist_hits(
+        _web_urls_df(spark, sf_dir).select("doc_id", "url"), blocked
+    ).select("doc_id", F.lit(1).alias("blocked"))
+    content = (
+        F.when(
+            F.col("doc_id") % 7 == 2,
+            F.concat(F.col("text"), F.lit(" end of page")),
+        )
+        .when(F.col("doc_id") % 11 == 5, F.lit(_PIPE_SHARED_LINE))
+        .when(
+            F.col("doc_id") % 13 == 4,
+            F.concat(
+                F.repeat(F.lit("spam spam wonderful spam ham "), 12),
+                F.lit("doc "),
+                F.col("doc_id").cast("string"),
+                F.lit(" end."),
+            ),
+        )
+        .otherwise(F.concat(F.col("text"), F.lit(" end of page.")))
+    )
+    page = F.concat_ws("\n", content, F.lit("Enable javascript to continue."))
+    cl = text_ops.clean_lines(
+        docs.select("doc_id", "source", page.alias("page")), text_col="page"
+    ).select("doc_id", "source", "n_kept", "clean_text")
+    rn = F.row_number().over(
+        Window.partitionBy(F.md5("clean_text")).orderBy("doc_id")
+    )
+    flagged = cl.where(F.col("n_kept") > 0).select("doc_id", rn.alias("rn"))
+    qual = text_ops.with_quality(cl, text_col="clean_text").select(
+        "doc_id", "quality"
+    )
+    rep = text_ops.repetition_stats(cl, text_col="clean_text").select(
+        "doc_id", F.col("keep_repetition").alias("keep")
+    )
+    j = (
+        cl.join(hits, "doc_id", "left")
+        .join(flagged, "doc_id", "left")
+        .join(qual, "doc_id")
+        .join(rep, "doc_id", "left")
+    )
+    reason = (
+        F.when(F.col("blocked") == 1, F.lit("blocked_domain"))
+        .when(F.col("n_kept") == 0, F.lit("no_clean_lines"))
+        .when(F.col("rn") > 1, F.lit("duplicate"))
+        .when(F.col("quality") < 0.40, F.lit("low_quality"))
+        .when(F.coalesce(F.col("keep"), F.lit(1)) == 0, F.lit("repetitive"))
+        .otherwise(F.lit("kept"))
+    )
+    return (
+        j.select("source", reason.alias("reason"))
+        .groupBy("source", "reason")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .orderBy("source", "reason")
+    )
+
+
 def q_dedup_decontaminate(spark, sf_dir):
     """Benchmark decontamination (engine addition; no reference
     analogue — standard LLM-pipeline op): per-doc count of WORD
@@ -3359,11 +3451,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      four session-cloned streaming helpers);
     #   2. the twelve r02-era queries the round-4 verdict flagged
     #      (their committed record is two windows old);
-    #   3. r03-era rows (now 2 rounds stale) — the first 26 fit the
-    #      50-row window (five slots went to the brand-new
+    #   3. r03-era rows (now 2 rounds stale) — the first 25 fit the
+    #      50-row window (six slots went to the brand-new
     #      dedup_lsh_star / sketch_bottomk_quantiles / web_blocklist /
-    #      text_clean_lines / dedup_strip_boilerplate); the 20 that
-    #      overflow lead round 6;
+    #      text_clean_lines / dedup_strip_boilerplate /
+    #      pipeline_clean_full); the 21 that overflow lead round 6;
     #   4. r04-green rows at the back (1 round stale — their rows are
     #      committed in CORRECTNESS_r04.json).
     return {
@@ -3376,6 +3468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_blocklist": q_web_blocklist,
         "text_clean_lines": q_text_clean_lines,
         "dedup_strip_boilerplate": q_dedup_strip_boilerplate,
+        "pipeline_clean_full": q_pipeline_clean_full,
         "dedup_decontaminate_bloom": q_dedup_decontaminate_bloom,
         "stream_dedup": q_stream_dedup,
         "stream_minhash_dedup": q_stream_minhash_dedup,
@@ -3393,7 +3486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p5_list_downgrade": q_p5_list_downgrade,
         "f7_regex_extract": q_f7_regex_extract,
         "p6_align_schema": q_p6_align_schema,
-        # --- (3) r03-era rows, 2 rounds stale (first 26 in-window) ---
+        # --- (3) r03-era rows, 2 rounds stale (first 25 in-window) ---
         "geo_pip_parcely_large": q_geo_pip_parcely_large,
         "web_url_canonicalize": q_web_url_canonicalize,
         "text_bm25_topk": q_text_bm25_topk,
@@ -3419,8 +3512,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_pip_hierarchy3": q_geo_pip_hierarchy3,
         "asof_join": q_asof_join,
         "web_domain_stats": q_web_domain_stats,
+        # ---- 50-row window boundary (the 21 below lead round 6) ----
         "web_cap_per_domain": q_web_cap_per_domain,
-        # ---- 50-row window boundary (the 20 below lead round 6) ----
         "s4_formats": q_s4_formats,
         "f9_dsn_extract": q_f9_dsn_extract,
         "f5_key_synthesis": q_f5_key_synthesis,
@@ -4506,6 +4599,59 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'kept' END AS reason,
                    CAST(count(*) AS BIGINT) AS n_docs
             FROM d JOIN q USING (doc_id) LEFT JOIN rep USING (doc_id)
+            GROUP BY source, reason ORDER BY source, reason
+        """,
+        "pipeline_clean_full": f"""
+            WITH hits AS (
+              SELECT DISTINCT doc_id FROM (
+                SELECT doc_id,
+                       unnest(list_transform(generate_series(1, len(l)),
+                              i -> array_to_string(l[i:], '.'))) AS s
+                FROM (SELECT doc_id, string_split(lower(regexp_extract(url,
+                        '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)',
+                        1)), '.') AS l
+                      FROM ({_web_urls_sql()}))
+              ) JOIN (SELECT unnest([{", ".join(f"'{d}'" for d in _PIPE_BLOCKED)}]) AS s)
+                USING (s)
+            ), pages AS (
+              SELECT doc_id, source,
+                     CASE WHEN doc_id % 7 = 2 THEN text || ' end of page'
+                          WHEN doc_id % 11 = 5 THEN '{_PIPE_SHARED_LINE}'
+                          WHEN doc_id % 13 = 4
+                            THEN repeat('spam spam wonderful spam ham ', 12)
+                                 || 'doc ' || CAST(doc_id AS VARCHAR) || ' end.'
+                          ELSE text || ' end of page.' END
+                     || chr(10) || 'Enable javascript to continue.' AS page
+              FROM documents
+            ), cl AS (
+              SELECT doc_id, source, len(ks) AS n_kept,
+                     array_to_string(ks, chr(10)) AS text
+              FROM (SELECT doc_id, source,
+                      list_filter(string_split(page, chr(10)), l ->
+                        len(string_split_regex(trim(l), '\\s+')) >= 3
+                        AND right(rtrim(l), 1) IN ('.', '!', '?', '"', '''')
+                        AND NOT contains(lower(l), 'javascript')
+                        AND NOT contains(lower(l), 'lorem ipsum')
+                        AND NOT contains(lower(l), 'cookie')) AS ks
+                    FROM pages)
+            ), d AS (
+              SELECT doc_id, row_number() OVER (PARTITION BY md5(text)
+                                                ORDER BY doc_id) AS rn
+              FROM cl WHERE n_kept > 0
+            ), q AS ({_duck_quality_sql("cl")}),
+            rep AS ({_duck_repetition_sql("cl")})
+            SELECT source,
+                   CASE WHEN doc_id IN (SELECT doc_id FROM hits)
+                          THEN 'blocked_domain'
+                        WHEN n_kept = 0 THEN 'no_clean_lines'
+                        WHEN rn > 1 THEN 'duplicate'
+                        WHEN quality < 0.40 THEN 'low_quality'
+                        WHEN coalesce(keep_repetition, 1) = 0
+                          THEN 'repetitive'
+                        ELSE 'kept' END AS reason,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM cl JOIN q USING (doc_id)
+                 LEFT JOIN d USING (doc_id) LEFT JOIN rep USING (doc_id)
             GROUP BY source, reason ORDER BY source, reason
         """,
         "dedup_exact_substring": f"""

@@ -96,6 +96,9 @@ HEADLINE = [
     # shuffles; web_blocklist / text_clean_lines are map-only
     # projections and stay out of the headline)
     "dedup_strip_boilerplate",
+    # the 6-gate end-to-end cleaning verdict (supersedes
+    # pipeline_clean's 3 gates; both stay measured)
+    "pipeline_clean_full",
 ]
 
 # 240M pages (vs the r1/r2 40M): interior-cell certification made the

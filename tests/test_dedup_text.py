@@ -1009,3 +1009,25 @@ def test_strip_boilerplate_lines(spark):
     assert out[2]["clean_text"] == "only here\nonly here"
     assert out[2]["n_kept_lines"] == 2
     assert out[3]["clean_text"] == "" and out[3]["n_kept_lines"] == 0
+
+
+def test_pipeline_clean_full_gate_precedence(spark):
+    """The widened cleaning verdict (blocklist -> line rules -> dedup
+    -> quality -> repetition) partitions every doc into exactly one
+    reason, reasons stay within the 6-value contract, and the
+    round-5 gates actually fire on the sf0.001 fixture."""
+    import __spark_entry__ as entry
+
+    rows = entry.q_pipeline_clean_full(spark, "/root/testdata/sf0.001").collect()
+    total = sum(r["n_docs"] for r in rows)
+    n_docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).count()
+    assert total == n_docs  # a partition, not a filter
+    reasons = {r["reason"] for r in rows}
+    assert reasons <= {
+        "blocked_domain", "no_clean_lines", "duplicate",
+        "low_quality", "repetitive", "kept",
+    }
+    assert "kept" in reasons and "blocked_domain" in reasons
+    assert "no_clean_lines" in reasons

@@ -190,6 +190,10 @@ AUDIT = [
     # anti-join (broadcast) + doc reassembly agg + outer join back +
     # contract orderBy
     ("dedup_strip_boilerplate", dict(max_python=0, max_shuffles=7)),
+    # 6-gate cleaning verdict: pipeline_clean's budget + the blocklist
+    # suffix join (rules broadcast) + the clean_text dedup window +
+    # per-gate doc_id joins; all JVM
+    ("pipeline_clean_full", dict(max_python=0, want_broadcast=True, max_shuffles=12)),
 ]
 
 

@@ -194,6 +194,57 @@ AUDIT = [
     # suffix join (rules broadcast) + the clean_text dedup window +
     # per-gate doc_id joins; all JVM
     ("pipeline_clean_full", dict(max_python=0, want_broadcast=True, max_shuffles=12)),
+    # ---- round-5 completeness sweep: every remaining batch query,
+    # budgets pinned at the observed plan shape so ANY regression
+    # (new shuffle, new Python boundary, lost broadcast) fails loudly.
+    # Single-agg / single-window / projection queries:
+    ("a2_presence", dict(max_python=0, max_shuffles=1)),
+    ("a4_null_tally", dict(max_python=0, max_shuffles=1)),
+    ("a5_max_fid", dict(max_python=0, max_shuffles=1)),
+    ("f5_key_synthesis", dict(max_python=0, max_shuffles=1)),
+    ("f7_regex_extract", dict(max_python=0, max_shuffles=2)),
+    ("f9_dsn_extract", dict(max_python=0, max_shuffles=1)),
+    ("f_dates", dict(max_python=0, max_shuffles=0)),
+    ("f_interval_expand", dict(max_python=0, max_shuffles=0)),
+    ("f_json_extract", dict(max_python=0, max_shuffles=2)),
+    ("j3_dedup_window", dict(max_python=0, max_shuffles=1)),
+    ("p1_layer_select", dict(max_python=0, max_shuffles=2)),
+    ("p2_key_lookup", dict(max_python=0, max_shuffles=0)),  # pushed-filter point lookup
+    ("p4_coalesce_chain", dict(max_python=0, max_shuffles=2)),
+    ("p5_list_downgrade", dict(max_python=0, max_shuffles=1)),
+    ("p6_align_schema", dict(max_python=0, max_shuffles=1)),
+    ("s4_formats", dict(max_python=0, max_shuffles=1)),
+    ("sample_stratified", dict(max_python=0, max_shuffles=1)),
+    ("sort_topk", dict(max_python=0, max_shuffles=0)),  # TakeOrderedAndProject, no full sort
+    ("window_rank", dict(max_python=0, max_shuffles=1)),
+    ("text_chunks", dict(max_python=0, max_shuffles=1)),
+    ("text_fingerprint", dict(max_python=0, max_shuffles=3)),
+    ("text_pack_bins", dict(max_python=0, max_shuffles=2)),
+    ("text_pii_scrub", dict(max_python=0, max_shuffles=1)),
+    ("text_quality", dict(max_python=0, max_shuffles=1)),
+    ("text_source_stats", dict(max_python=0, max_shuffles=2)),
+    ("text_tokens", dict(max_python=0, max_shuffles=2)),
+    ("text_vocab", dict(max_python=0, max_shuffles=1)),
+    # set ops / merge lifecycle:
+    ("so1_symmetric_diff", dict(max_python=0, max_shuffles=5)),
+    ("so2_union", dict(max_python=0, max_shuffles=2)),
+    ("m3_merge_state", dict(max_python=0, want_broadcast=True, max_shuffles=4)),
+    ("dedup_keep_best", dict(max_python=0, max_shuffles=4)),
+    # near-dup variants: banded/blocked joins, Arrow only at the
+    # signature pass (expression twins parity-pinned in pytest)
+    ("dedup_simhash", dict(max_python=1, max_shuffles=1)),
+    ("dedup_ngram_jaccard", dict(max_python=2, want_broadcast=True, max_shuffles=4)),
+    ("dedup_representatives", dict(max_python=2, want_broadcast=True, max_shuffles=6)),
+    ("embedding_near_dup_exact", dict(max_python=0, want_broadcast=True, max_shuffles=1)),
+    # ANN serving shape: partition-pruned probe scan + broadcast query
+    ("ann_ivf_indexed", dict(max_python=1, want_broadcast=True, max_shuffles=2)),
+    # geo variants: Arrow only at the winding/segment refine
+    ("geo_pip_hierarchy", dict(max_python=1, want_broadcast=True, max_shuffles=2)),
+    ("geo_range_join", dict(max_python=1, max_shuffles=1)),
+    # multimodal meta/frames: synth pass + decode pass (mapInPandas by
+    # design — per-payload parsers), one agg/sort exchange
+    ("multimodal_frames", dict(max_python=2, max_shuffles=1)),
+    ("multimodal_meta", dict(max_python=2, max_shuffles=1)),
 ]
 
 

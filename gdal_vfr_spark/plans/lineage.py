@@ -93,6 +93,7 @@ def run_stage_resumable(
     out_path: str,
     prefix_res: int = 4,
     tile_res: int = tiles.DEFAULT_TILE_RES,
+    stage_input_path: str | None = None,
 ) -> list[int]:
     """Process a page table unit-by-unit (unit = Z-order tile prefix),
     committing output partition + lineage row per unit; on re-run only
@@ -102,10 +103,27 @@ def run_stage_resumable(
     written partitioned by tile_prefix, so a unit never touches other
     units' files), and units can be dispatched concurrently by
     independent drivers — the lineage table is the coordination point.
-    """
+
+    stage_input_path makes that layout executable rather than assumed:
+    the keyed input is staged ONCE, written `partitionBy("unit")` (a
+    map-only dynamic-partition write — no shuffle), and every unit then
+    reads the staged table with a `unit = X` predicate that Spark
+    resolves at PLANNING time against the partition directories
+    (PartitionFilters in the scan — pinned in
+    tests/test_lineage_streaming.py), so a unit's read touches ONLY its
+    own files instead of filtering a full scan. The staging write is
+    itself resume-safe: a crash before its _SUCCESS marker re-stages,
+    after it the existing layout is reused (same skip rule as the
+    units)."""
     keyed = tiles.with_tile_key(pages, tile_res).withColumn(
         "unit", tiles.tile_prefix_expr("tile_key", prefix_res, tile_res=tile_res)
     )
+    if stage_input_path is not None:
+        import os
+
+        if not os.path.exists(os.path.join(stage_input_path, "_SUCCESS")):
+            keyed.write.mode("overwrite").partitionBy("unit").parquet(stage_input_path)
+        keyed = spark.read.parquet(stage_input_path)
     manifest = keyed.select("unit").distinct()
     pending = [r["unit"] for r in lineage.pending_units(stage, manifest).collect()]
     done = []

@@ -52,6 +52,77 @@ def test_lineage_resume(spark, tmp_path):
     assert done3 == [first_unit]
 
 
+def test_lineage_staged_input_partition_pruned(spark, tmp_path):
+    """stage_input_path: per-unit reads are partition-pruned scans of
+    the staged unit= layout (PartitionFilters at planning time), and
+    the staged path's output is identical to the full-scan path's."""
+    import contextlib
+    import io
+
+    pages = datagen.gen_webpages(spark, n=1000, seed=31).where("lon is not null")
+
+    def transform(part):
+        return part.select("url", "lon", "lat", "truth_obec_kod")
+
+    log_a = LineageLog(spark, str(tmp_path / "lin_a"))
+    done_a = run_stage_resumable(
+        spark, pages, "x", transform, log_a, str(tmp_path / "out_a"), prefix_res=8
+    )
+    log_b = LineageLog(spark, str(tmp_path / "lin_b"))
+    done_b = run_stage_resumable(
+        spark,
+        pages,
+        "x",
+        transform,
+        log_b,
+        str(tmp_path / "out_b"),
+        prefix_res=8,
+        stage_input_path=str(tmp_path / "staged"),
+    )
+    assert done_a == done_b and len(done_b) > 1
+    # staged layout exists, one dir per unit
+    staged_units = sorted(
+        int(p.name.split("=")[1]) for p in (tmp_path / "staged").glob("unit=*")
+    )
+    assert staged_units == done_b
+    # the per-unit predicate reaches the scan as a PartitionFilter
+    staged = spark.read.parquet(str(tmp_path / "staged"))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        staged.where(F.col("unit") == done_b[0]).explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    import re as _re
+
+    pf = _re.search(r"PartitionFilters: \[([^\]]*)\]", plan).group(1)
+    assert "unit" in pf and str(done_b[0]) in pf
+    # identical output + identical per-unit lineage record
+    a = spark.read.parquet(str(tmp_path / "out_a/unit=*")).toPandas()
+    b = spark.read.parquet(str(tmp_path / "out_b/unit=*")).toPandas()
+    key = sorted(a.columns)
+    pd.testing.assert_frame_equal(
+        a[key].sort_values(key).reset_index(drop=True),
+        b[key].sort_values(key).reset_index(drop=True),
+    )
+    la = log_a.read().select("unit", "n_rows", "content_hash").orderBy("unit").toPandas()
+    lb = log_b.read().select("unit", "n_rows", "content_hash").orderBy("unit").toPandas()
+    pd.testing.assert_frame_equal(la, lb)
+    # re-run on the staged path: nothing pending, staging not rewritten
+    mtime = (tmp_path / "staged" / "_SUCCESS").stat().st_mtime
+    again = run_stage_resumable(
+        spark,
+        pages,
+        "x",
+        transform,
+        log_b,
+        str(tmp_path / "out_b"),
+        prefix_res=8,
+        stage_input_path=str(tmp_path / "staged"),
+    )
+    assert again == []
+    assert (tmp_path / "staged" / "_SUCCESS").stat().st_mtime == mtime
+
+
 def test_hot_keys_and_salted_join(spark):
     pages = datagen.gen_webpages(spark, n=5000, seed=33).where("lon is not null")
     hot = skew.hot_keys(pages, "truth_obec_kod", sample_frac=0.3, threshold_frac=0.1)

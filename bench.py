@@ -88,9 +88,10 @@ HEADLINE = [
     "dedup_exact_substring",
     "pipeline_clean",
     # round-5 additions: capped-bucket LSH + bottom-k quantile sketch
-    # (floors in BASELINE.md)
+    # + SemDeDup semantic dedup (floors in BASELINE.md)
     "dedup_lsh_star",
     "sketch_bottomk_quantiles",
+    "dedup_semantic",
     # corpus-global line dedup (distinct + map-side-combined count +
     # anti-join + positional reassembly — the only new-op with real
     # shuffles; web_blocklist / text_clean_lines are map-only

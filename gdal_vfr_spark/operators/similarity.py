@@ -629,3 +629,153 @@ def int8_topk(
         .where(F.col("rank") <= k)
         .select(query_id_col, id_col, "score", "rank")
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float,
+    n_centroids: int = 8,
+    n_iter: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    use_expr: bool = False,
+    block: int = 1024,
+) -> DataFrame:
+    """SemDeDup semantic deduplication (Abbas et al. 2023): cluster the
+    embedding space with the deterministic fixed-point k-means
+    (`kmeans_centroids`), then WITHIN each cluster drop every example
+    that has a >= threshold cosine neighbor of LOWER centroid
+    similarity (tie-break: lower id). The survivor of every semantic
+    near-duplicate neighborhood is its lowest-centroid-similarity
+    member — the paper's keep rule, which preferentially keeps
+    "edge" examples and drops prototypical ones. The duplicate-collapse
+    role is the embedding-space analogue of J3's duplicate-key dedup
+    (vfrogr.py:817-829), keyed by meaning instead of gml_id.
+
+    Relational form of the paper's greedy pass: x is dropped iff
+    EXISTS y (same cluster, y != x) with cos(x, y) >= threshold AND
+    (c_sim(y) < c_sim(x) OR (c_sim(y) = c_sim(x) AND y.id < x.id)).
+    Deterministic, partition-invariant, and engine-exact: centroids
+    are fixed-point (order-free bigint sums), every cosine is the
+    same sequential float64 fold both engines already agree on
+    (ann_topk / embedding_near_dup oracles).
+
+    Default path: assignment is map-only (Arrow batch, centroid
+    matrix broadcast — k*(dim+1) doubles, <50 MB at k=4096,
+    dim=1024), then ONE shuffle groups each cluster into a task and
+    the drop rule runs as blocked dense algebra (applyInPandas): the
+    O(B^2) pairwise term never materializes as shuffle rows, and
+    per-task memory stays block*B floats regardless of cluster size.
+    Bit-identity with the Catalyst fold holds because every cosine
+    accumulates ONE DIMENSION AT A TIME across the whole block
+    (S += outer(x_i, y_i) in dim order — the _assign_arrow_udf
+    argument), so each pair sees exactly the fold's float64 op
+    sequence. Cluster size is the cost knob SemDeDup itself turns
+    (k grows with N so clusters stay ~10^4-10^5: features 64 dim x
+    10^5 rows = 51 MB per task, pair scan blocked). use_expr=True
+    selects the pure-Catalyst twin — a cid self-join with the fold
+    cosine, parity-pinned in pytest, kept for oracle-shape clarity
+    (it materializes pair rows, so it is the small-cluster path
+    only). No window over a content key anywhere (the
+    exact_substring_spans lesson).
+
+    Output: survivors as (id_col, cid bigint) — both integer columns,
+    so the oracle hash is float-free."""
+    cents = kmeans_centroids(
+        corpus, k=n_centroids, n_iter=n_iter, id_col=id_col,
+        vec_col=vec_col, dim=dim,
+    )
+    assigned = (
+        corpus.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+        .withColumn("cid", _assign_arrow_udf(cents)(F.col("__v")))
+    )
+    if not use_expr:
+        C = {int(cid): np.asarray(c, dtype=np.float64) for cid, c in cents}
+        tau = float(threshold)
+
+        def _drop_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            n = len(pdf)
+            cidv = int(pdf["cid"].iloc[0])
+            out_cols = {id_col: pdf["__id"].astype("int64"), "cid": np.full(n, cidv, dtype=np.int64)}
+            if n <= 1:
+                return pd.DataFrame(out_cols)
+            ids = pdf["__id"].to_numpy(dtype=np.int64)
+            X = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["__v"]])
+            c = C[cidv]
+            d = X.shape[1]
+            # per-dim sequential accumulation == the Catalyst fold's
+            # float64 op order, for norms, centroid dots, and (below)
+            # every pairwise dot
+            nn = np.zeros(n)
+            csd = np.zeros(n)
+            cn = 0.0
+            for i in range(d):
+                xi = X[:, i]
+                nn = nn + xi * xi
+                csd = csd + xi * c[i]
+                cn = cn + c[i] * c[i]
+            nrm = np.sqrt(nn)
+            cs = csd / (nrm * np.sqrt(cn))
+            dom = np.zeros(n, dtype=bool)
+            for s in range(0, n, block):
+                e = min(s + block, n)
+                Sb = np.zeros((e - s, n))
+                for i in range(d):
+                    Sb = Sb + np.outer(X[s:e, i], X[:, i])
+                cosb = Sb / np.outer(nrm[s:e], nrm)
+                m = cosb >= tau
+                m[np.arange(e - s), np.arange(s, e)] = False
+                lower = (cs[None, :] < cs[s:e, None]) | (
+                    (cs[None, :] == cs[s:e, None]) & (ids[None, :] < ids[s:e, None])
+                )
+                dom[s:e] = (m & lower).any(axis=1)
+            keep = pd.DataFrame(out_cols)
+            return keep.loc[~dom]
+
+        return assigned.groupBy("cid").applyInPandas(
+            _drop_group, schema=f"{id_col} long, cid long"
+        )
+    cent_arr = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for _, c in cents]
+    )
+    cvec = F.element_at(cent_arr, F.col("cid") + 1)
+    base = (
+        assigned
+        .withColumn("__n", norm_expr(F.col("__v")))
+        .withColumn(
+            "__cs",
+            dot_expr(F.col("__v"), cvec) / (F.col("__n") * norm_expr(cvec)),
+        )
+        # persist: the x/y sides of the self-join and the final
+        # anti-join otherwise each re-run the assignment UDF + k-means
+        # feature scan (same boundary reasoning as minhash_lsh_pairs)
+        .persist()
+    )
+    base.count()
+    x = base.select(
+        F.col("__id").alias("id_x"), F.col("__v").alias("vx"),
+        F.col("__n").alias("nx"), F.col("__cs").alias("cs_x"), "cid",
+    )
+    y = base.select(
+        F.col("__id").alias("id_y"), F.col("__v").alias("vy"),
+        F.col("__n").alias("ny"), F.col("__cs").alias("cs_y"), "cid",
+    )
+    pair_cos = dot_expr(F.col("vx"), F.col("vy")) / (F.col("nx") * F.col("ny"))
+    dominated = (
+        x.join(y, "cid")
+        .where(F.col("id_x") != F.col("id_y"))
+        .where(pair_cos >= F.lit(float(threshold)))
+        .where(
+            (F.col("cs_y") < F.col("cs_x"))
+            | ((F.col("cs_y") == F.col("cs_x")) & (F.col("id_y") < F.col("id_x")))
+        )
+        .select(F.col("id_x").alias("__dropped"))
+        .distinct()
+    )
+    return (
+        base.join(
+            dominated, base["__id"] == dominated["__dropped"], "left_anti"
+        )
+        .select(F.col("__id").alias(id_col), F.col("cid").cast("long").alias("cid"))
+    )

@@ -1031,3 +1031,74 @@ def test_pipeline_clean_full_gate_precedence(spark):
     }
     assert "kept" in reasons and "blocked_domain" in reasons
     assert "no_clean_lines" in reasons
+
+
+def test_semantic_dedup_matches_numpy_rule(spark):
+    """SemDeDup drop rule cross-checked against a from-scratch numpy
+    recompute: same centroids (via kmeans_centroids — already pinned
+    partition-invariant above), same assignment, same relational rule
+    (drop x iff a same-cluster y has cos>=tau and lower centroid
+    similarity, id tie-break). Also: survivors + dropped partition the
+    corpus, and the partitioning of the input does not change the
+    result."""
+    import numpy as np
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    tau = 0.4
+    got = similarity.semantic_dedup(emb, threshold=tau).collect()
+    survivors = {r["vec_id"] for r in got}
+    cids = {r["vec_id"]: r["cid"] for r in got}
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    E = np.array([[float(x) for x in r["embedding"]] for r in rows])
+    cents = similarity.kmeans_centroids(emb, k=8, n_iter=2)
+    C = np.array([c for _, c in cents])
+    # numpy assignment mirrors the per-dim fold order closely enough
+    # at sf0.001 that argmin agrees (ties impossible in the fixture)
+    d = ((E[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+    a = d.argmin(1)
+    nrm = np.sqrt((E * E).sum(1))
+    cn = np.sqrt((C * C).sum(1))
+    cs = (E * C[a]).sum(1) / (nrm * cn[a])
+    expect = set()
+    for i in range(len(ids)):
+        dropped = False
+        for j in np.where(a == a[i])[0]:
+            if j == i:
+                continue
+            cos = float(E[i] @ E[j] / (nrm[i] * nrm[j]))
+            if cos >= tau and (
+                cs[j] < cs[i] or (cs[j] == cs[i] and ids[j] < ids[i])
+            ):
+                dropped = True
+                break
+        if not dropped:
+            expect.add(int(ids[i]))
+    assert survivors == expect
+    assert len(survivors) < len(ids)  # the drop branch fired
+    for vid, cid in cids.items():
+        assert cid == int(a[ids.tolist().index(vid)])
+    # partition invariance (fixed-point centroids + map-only assign)
+    got13 = {
+        r["vec_id"]
+        for r in similarity.semantic_dedup(
+            emb.repartition(13), threshold=tau
+        ).collect()
+    }
+    assert got13 == survivors
+    # Arrow blocked-algebra path == pure-Catalyst fold twin,
+    # bit-for-bit (per-dim sequential accumulation argument), and the
+    # blocking itself cannot change the rule (block=7 forces splits)
+    expr_side = sorted(
+        (r["vec_id"], r["cid"])
+        for r in similarity.semantic_dedup(
+            emb, threshold=tau, use_expr=True
+        ).collect()
+    )
+    assert expr_side == sorted((r["vec_id"], r["cid"]) for r in got)
+    blocked = sorted(
+        (r["vec_id"], r["cid"])
+        for r in similarity.semantic_dedup(emb, threshold=tau, block=7).collect()
+    )
+    assert blocked == expr_side

@@ -176,6 +176,11 @@ AUDIT = [
     # small/star branch union's distinct; 2 of the 7 exchanges are the
     # cached signature relation's inline build plan (execute once)
     ("dedup_lsh_star", dict(max_python=2, max_shuffles=7)),
+    # SemDeDup: TWO Arrow boundaries (map-only nearest-centroid
+    # assignment + the per-cluster blocked-algebra drop rule), ONE
+    # cid shuffle into the group task + the contract orderBy; the
+    # O(B^2) pairwise term never materializes as rows
+    ("dedup_semantic", dict(max_python=2, max_shuffles=2)),
     # bottom-k quantiles: stats agg exchange (broadcast back) + the
     # post-threshold window exchange (WindowGroupLimit-pre-limited);
     # final agg reuses the window's partitioning
@@ -271,10 +276,18 @@ def main() -> int:
         # InMemoryRelation subtrees repeat wholesale — raw substring counts
         # double/multiply-count Python boundaries.
         py_ids = set(
-            re.findall(r"\((\d+)\) (?:ArrowEvalPython|MapInPandas|FlatMapCoGroupsInPandas)", plan)
+            re.findall(
+                r"\((\d+)\) (?:ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas|FlatMapCoGroupsInPandas)",
+                plan,
+            )
         )
         n_python = len(py_ids) or (
-            1 if re.search(r"ArrowEvalPython|MapInPandas|FlatMapCoGroupsInPandas", plan) else 0
+            1
+            if re.search(
+                r"ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas|FlatMapCoGroupsInPandas",
+                plan,
+            )
+            else 0
         )
         # BroadcastNestedLoopJoin is the right physical op for broadcast
         # cross-joins (e.g. ANN brute-force top-k) — count it as broadcast.

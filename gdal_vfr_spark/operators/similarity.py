@@ -631,6 +631,66 @@ def int8_topk(
     )
 
 
+def _semantic_fold_stats(X: "np.ndarray", c: "np.ndarray"):
+    """Row norms and centroid cosine via per-dim sequential
+    accumulation — the Catalyst fold's float64 op order, so values are
+    bit-identical wherever they are computed (group task, hot-path
+    batch, or driver)."""
+    n = X.shape[0]
+    nn = np.zeros(n)
+    csd = np.zeros(n)
+    cn = 0.0
+    for i in range(X.shape[1]):
+        xi = X[:, i]
+        nn = nn + xi * xi
+        csd = csd + xi * c[i]
+        cn = cn + c[i] * c[i]
+    nrm = np.sqrt(nn)
+    return nrm, csd / (nrm * np.sqrt(cn))
+
+
+def _semantic_dom_block(
+    Xb, ids_b, cs_b, nrm_b, Y, ids_y, cs_y, nrm_y, tau: float, block: int
+):
+    """Dominated mask for x-rows (Xb) against candidate set Y: x is
+    dominated iff some y != x has cos(x, y) >= tau and (cs_y < cs_x
+    or (cs_y == cs_x and id_y < id_x)). Every pairwise dot
+    accumulates ONE DIMENSION AT A TIME across the block (S +=
+    outer(x_i, y_i) in dim order — the _assign_arrow_udf argument),
+    so each pair sees exactly the Catalyst fold's float64 op
+    sequence. The scratch matrix is capped at ~256 MB (block height
+    adapts to |Y|), so an oversized candidate set degrades to more
+    block iterations, never OOM. Self-pairs are excluded by id
+    equality (ids are unique), which makes the kernel valid both for
+    the within-group path (Y is the whole cluster including x) and
+    the hot-path batches (x rows are a subset of Y)."""
+    nb, d = Xb.shape
+    ny = Y.shape[0]
+    dom = np.zeros(nb, dtype=bool)
+    eff_block = max(16, min(block, (32 << 20) // max(ny, 1)))
+    tmp = None
+    for s in range(0, nb, eff_block):
+        e = min(s + eff_block, nb)
+        Sb = np.zeros((e - s, ny))
+        if tmp is None or tmp.shape != Sb.shape:
+            tmp = np.empty_like(Sb)
+        for i in range(d):
+            # in-place: same multiply/add per element in the same
+            # order as `Sb = Sb + np.outer(...)`, ~2x less memory
+            # traffic (no fresh result arrays) — the kernel is
+            # bandwidth-bound, not flop-bound
+            np.outer(Xb[s:e, i], Y[:, i], out=tmp)
+            Sb += tmp
+        cosb = Sb / np.outer(nrm_b[s:e], nrm_y)
+        m = cosb >= tau
+        m[ids_b[s:e, None] == ids_y[None, :]] = False
+        lower = (cs_y[None, :] < cs_b[s:e, None]) | (
+            (cs_y[None, :] == cs_b[s:e, None]) & (ids_y[None, :] < ids_b[s:e, None])
+        )
+        dom[s:e] = (m & lower).any(axis=1)
+    return dom
+
+
 def semantic_dedup(
     corpus: DataFrame,
     threshold: float,
@@ -641,6 +701,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     use_expr: bool = False,
     block: int = 1024,
+    hot_cluster_rows: int | None = 10_000,
 ) -> DataFrame:
     """SemDeDup semantic deduplication (Abbas et al. 2023): cluster the
     embedding space with the deterministic fixed-point k-means
@@ -664,21 +725,34 @@ def semantic_dedup(
     Default path: assignment is map-only (Arrow batch, centroid
     matrix broadcast — k*(dim+1) doubles, <50 MB at k=4096,
     dim=1024), then ONE shuffle groups each cluster into a task and
-    the drop rule runs as blocked dense algebra (applyInPandas): the
-    O(B^2) pairwise term never materializes as shuffle rows, and
-    per-task memory stays block*B floats regardless of cluster size.
-    Bit-identity with the Catalyst fold holds because every cosine
-    accumulates ONE DIMENSION AT A TIME across the whole block
-    (S += outer(x_i, y_i) in dim order — the _assign_arrow_udf
-    argument), so each pair sees exactly the fold's float64 op
-    sequence. Cluster size is the cost knob SemDeDup itself turns
-    (k grows with N so clusters stay ~10^4-10^5: features 64 dim x
-    10^5 rows = 51 MB per task, pair scan blocked). use_expr=True
-    selects the pure-Catalyst twin — a cid self-join with the fold
-    cosine, parity-pinned in pytest, kept for oracle-shape clarity
-    (it materializes pair rows, so it is the small-cluster path
-    only). No window over a content key anywhere (the
-    exact_substring_spans lesson).
+    the drop rule runs as blocked dense algebra (_semantic_dom_block
+    via applyInPandas): the O(B^2) pairwise term never materializes
+    as shuffle rows, and the per-task scratch matrix is capped at
+    ~256 MB. Cluster size is the cost knob SemDeDup itself turns
+    (k grows with N so clusters stay ~10^4).
+
+    HOT-CLUSTER SKEW (measured: a 31k-member boilerplate cluster at
+    500k vectors made the grouped path a single-task straggler —
+    scaling efficiency 0.377 between local[8]/local[32],
+    tools/semdedup_scale_run.py): clusters larger than
+    hot_cluster_rows take an explicit skew path — the same playbook
+    as the LSH star cap and PIP salting. A map-side-combined size
+    probe finds them; each hot cluster's feature matrix (B x dim
+    doubles — 16 MB at 31k x 64, budget-guarded at 512 MB) is
+    broadcast, and the dominated mask is computed MAP-SIDE over the
+    cluster's rows in parallel batches (mapInPandas) — identical
+    arithmetic through the shared kernel, so the result is
+    bit-identical to the grouped path (parity-pinned in pytest).
+    hot_cluster_rows=None disables the probe (and the persist of the
+    assigned relation the probe needs; when enabled, that cached
+    relation lives until the session ends or the caller unpersists —
+    the decontaminate_bloom ownership note applies).
+
+    use_expr=True selects the pure-Catalyst twin — a cid self-join
+    with the fold cosine, parity-pinned in pytest, kept for
+    oracle-shape clarity (it materializes pair rows, so it is the
+    small-cluster path only). No window over a content key anywhere
+    (the exact_substring_spans lesson).
 
     Output: survivors as (id_col, cid bigint) — both integer columns,
     so the oracle hash is float-free."""
@@ -693,49 +767,98 @@ def semantic_dedup(
     if not use_expr:
         C = {int(cid): np.asarray(c, dtype=np.float64) for cid, c in cents}
         tau = float(threshold)
+        out_schema = f"{id_col} long, cid long"
 
         def _drop_group(pdf: pd.DataFrame) -> pd.DataFrame:
             n = len(pdf)
             cidv = int(pdf["cid"].iloc[0])
-            out_cols = {id_col: pdf["__id"].astype("int64"), "cid": np.full(n, cidv, dtype=np.int64)}
+            out_cols = {
+                id_col: pdf["__id"].astype("int64"),
+                "cid": np.full(n, cidv, dtype=np.int64),
+            }
             if n <= 1:
                 return pd.DataFrame(out_cols)
             ids = pdf["__id"].to_numpy(dtype=np.int64)
             X = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["__v"]])
-            c = C[cidv]
-            d = X.shape[1]
-            # per-dim sequential accumulation == the Catalyst fold's
-            # float64 op order, for norms, centroid dots, and (below)
-            # every pairwise dot
-            nn = np.zeros(n)
-            csd = np.zeros(n)
-            cn = 0.0
-            for i in range(d):
-                xi = X[:, i]
-                nn = nn + xi * xi
-                csd = csd + xi * c[i]
-                cn = cn + c[i] * c[i]
-            nrm = np.sqrt(nn)
-            cs = csd / (nrm * np.sqrt(cn))
-            dom = np.zeros(n, dtype=bool)
-            for s in range(0, n, block):
-                e = min(s + block, n)
-                Sb = np.zeros((e - s, n))
-                for i in range(d):
-                    Sb = Sb + np.outer(X[s:e, i], X[:, i])
-                cosb = Sb / np.outer(nrm[s:e], nrm)
-                m = cosb >= tau
-                m[np.arange(e - s), np.arange(s, e)] = False
-                lower = (cs[None, :] < cs[s:e, None]) | (
-                    (cs[None, :] == cs[s:e, None]) & (ids[None, :] < ids[s:e, None])
-                )
-                dom[s:e] = (m & lower).any(axis=1)
-            keep = pd.DataFrame(out_cols)
-            return keep.loc[~dom]
+            nrm, cs = _semantic_fold_stats(X, C[cidv])
+            dom = _semantic_dom_block(
+                X, ids, cs, nrm, X, ids, cs, nrm, tau, block
+            )
+            return pd.DataFrame(out_cols).loc[~dom]
 
-        return assigned.groupBy("cid").applyInPandas(
-            _drop_group, schema=f"{id_col} long, cid long"
+        grouped = assigned.groupBy("cid").applyInPandas(
+            _drop_group, schema=out_schema
         )
+        if hot_cluster_rows is None:
+            return grouped
+        # hot-cluster probe: map-side-combined counts, tiny collect
+        assigned = assigned.persist()
+        hot = (
+            assigned.groupBy("cid")
+            .count()
+            .where(F.col("count") > int(hot_cluster_rows))
+            .collect()
+        )
+        if not hot:
+            return assigned.groupBy("cid").applyInPandas(
+                _drop_group, schema=out_schema
+            )
+        budget = (512 << 20) // (dim * 8)
+        for r in hot:
+            if r["count"] > budget:
+                raise ValueError(
+                    f"semantic_dedup: cluster {r['cid']} has {r['count']} rows"
+                    f" > broadcast budget {budget}; increase n_centroids so"
+                    " clusters shrink (SemDeDup's own knob) or raise"
+                    " hot_cluster_rows past the cluster size"
+                )
+        hot_cids = sorted(int(r["cid"]) for r in hot)
+        spark = corpus.sparkSession
+        cold_out = (
+            assigned.where(~F.col("cid").isin(hot_cids))
+            .groupBy("cid")
+            .applyInPandas(_drop_group, schema=out_schema)
+        )
+        outs = [cold_out]
+        for hc in hot_cids:
+            rows = assigned.where(F.col("cid") == hc).select("__id", "__v").collect()
+            ids_y = np.asarray([r["__id"] for r in rows], dtype=np.int64)
+            Y = np.asarray(
+                [np.asarray(r["__v"], dtype=np.float64) for r in rows]
+            )
+            nrm_y, cs_y = _semantic_fold_stats(Y, C[hc])
+            bc = spark.sparkContext.broadcast((Y, ids_y, nrm_y, cs_y))
+
+            def _hot_fn(batches, hc=hc, bc=bc):
+                Yv, ids_yv, nrm_yv, cs_yv = bc.value
+                for pdf in batches:
+                    if len(pdf) == 0:
+                        continue
+                    ids_b = pdf["__id"].to_numpy(dtype=np.int64)
+                    Xb = np.asarray(
+                        [np.asarray(v, dtype=np.float64) for v in pdf["__v"]]
+                    )
+                    nrm_b, cs_b = _semantic_fold_stats(Xb, C[hc])
+                    dom = _semantic_dom_block(
+                        Xb, ids_b, cs_b, nrm_b, Yv, ids_yv, cs_yv, nrm_yv,
+                        tau, block,
+                    )
+                    yield pd.DataFrame(
+                        {
+                            id_col: ids_b[~dom],
+                            "cid": np.full(int((~dom).sum()), hc, dtype=np.int64),
+                        }
+                    )
+
+            outs.append(
+                assigned.where(F.col("cid") == hc)
+                .select("__id", "__v")
+                .mapInPandas(_hot_fn, schema=out_schema)
+            )
+        result = outs[0]
+        for o in outs[1:]:
+            result = result.unionByName(o)
+        return result
     cent_arr = F.array(
         *[F.array(*[F.lit(float(x)) for x in c]) for _, c in cents]
     )

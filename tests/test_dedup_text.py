@@ -1102,3 +1102,13 @@ def test_semantic_dedup_matches_numpy_rule(spark):
         for r in similarity.semantic_dedup(emb, threshold=tau, block=7).collect()
     )
     assert blocked == expr_side
+    # hot-cluster skew path == grouped path, bit-for-bit: a 50-row
+    # threshold forces every cluster (53-71 members) through the
+    # broadcast map-side kernel
+    hot = sorted(
+        (r["vec_id"], r["cid"])
+        for r in similarity.semantic_dedup(
+            emb, threshold=tau, hot_cluster_rows=50
+        ).collect()
+    )
+    assert hot == expr_side

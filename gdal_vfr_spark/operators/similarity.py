@@ -332,6 +332,9 @@ def kmeans_centroids(
     construction AND by test, but interpreted (and its 512-literal
     centroid array re-codegens per call), so it exists for oracle
     parity, not for the hot path."""
+    from gdal_vfr_spark.plans.skew import spread_small_input
+
+    corpus = spread_small_input(corpus)
     seeds = (
         corpus.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
     )
@@ -525,9 +528,29 @@ def cosine_near_dup_pairs(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    use_expr: bool = False,
+    block: int = 2048,
 ) -> DataFrame:
     """Embedding near-duplicate pairs (id_a < id_b, cosine >= threshold)
-    found within SRP buckets (blocked self-join, not O(n^2))."""
+    found within SRP buckets (blocked per-bucket kernel, not O(n^2)
+    across the corpus).
+
+    Default path (round-6 optimization): one shuffle groups each SRP
+    bucket into a task; inside the task a chunked numpy kernel
+    accumulates every pairwise dot ONE DIMENSION AT A TIME across the
+    block (acc += outer(x_i, y_i) in dim order) — exactly the Catalyst
+    fold's float64 op sequence, so every cosine and therefore every
+    threshold decision is bit-identical to the expression path
+    (parity-pinned in tests/test_dedup_text.py). The old band
+    self-join materialized B^2/2 pair ROWS per bucket and paid an
+    interpreted 64-step higher-order fold per pair (measured 102 s at
+    20k vectors / 16 buckets, sf1.0); the kernel pays ~dim vectorized
+    ops per block and emits only surviving pairs. Scratch is capped by
+    the 2048-row block (2048^2 float64 ~ 32 MB), so an oversized
+    bucket degrades to more block iterations, never OOM.
+
+    use_expr=True keeps the Catalyst self-join twin (the oracle-shape
+    path; bit-identical output, used for parity tests)."""
     planes = random_hyperplanes(dim, n_planes, seed)
     # per-row norm before the self-join: inside a bucket of size m each
     # vector otherwise recomputes its norm fold m-1 times (bit-identical
@@ -537,20 +560,90 @@ def cosine_near_dup_pairs(
         .withColumn("bucket", srp_bucket_expr(vec_col, planes))
         .withColumn("__n", norm_expr(F.col(vec_col)))
     )
-    a, b = keyed.alias("a"), keyed.alias("b")
-    return (
-        a.join(b, on="bucket")
-        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            (
-                dot_expr(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
-                / (F.col("a.__n") * F.col("b.__n"))
-            ).alias("cosine"),
+    if use_expr:
+        a, b = keyed.alias("a"), keyed.alias("b")
+        return (
+            a.join(b, on="bucket")
+            .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                (
+                    dot_expr(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+                    / (F.col("a.__n") * F.col("b.__n"))
+                ).alias("cosine"),
+            )
+            .where(F.col("cosine") >= threshold)
+            .distinct()
         )
-        .where(F.col("cosine") >= threshold)
-        .distinct()
+    id_dt = df.schema[id_col].dataType.simpleString()
+    out_schema = f"id_a {id_dt}, id_b {id_dt}, cosine double"
+    thr = float(threshold)
+    # asymmetric cache tiles: the accumulator (XB x YB float64) stays
+    # ~8 MB so the per-dim accumulation passes run out of cache, not
+    # DRAM (same tiling argument as _semantic_dom_block)
+    XB = max(2, min(int(block), 512))
+    YB = max(XB, min(int(block) * 4, 2048))
+
+    def _bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        ids = pdf[id_col].to_numpy()
+        empty = pd.DataFrame(
+            {"id_a": ids[:0], "id_b": ids[:0], "cosine": np.zeros(0)}
+        )
+        if n < 2:
+            return empty
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        X = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in pdf[vec_col].to_numpy()[order]]
+        )
+        d = X.shape[1]
+        # norms via the same per-dim sequential fold as norm_expr
+        nn = np.zeros(n)
+        for i in range(d):
+            xi = X[:, i]
+            nn = nn + xi * xi
+        nrm = np.sqrt(nn)
+        out_a: list = []
+        out_b: list = []
+        out_c: list = []
+        tmp = None
+        for s0 in range(0, n, XB):
+            e0 = min(s0 + XB, n)
+            for s1 in range(s0, n, YB):
+                e1 = min(s1 + YB, n)
+                acc = np.zeros((e0 - s0, e1 - s1))
+                if tmp is None or tmp.shape != acc.shape:
+                    tmp = np.empty_like(acc)
+                for i in range(d):
+                    # in-place outer + add: the same multiply/add per
+                    # element in the same order as the Catalyst fold's
+                    # acc + (cast(x) * cast(y)) step
+                    np.outer(X[s0:e0, i], X[s1:e1, i], out=tmp)
+                    acc += tmp
+                cos = acc / np.outer(nrm[s0:e0], nrm[s1:e1])
+                # NaN >= thr is TRUE under Spark's NaN-greatest ordering
+                # (only reachable for zero-norm rows: 0/0)
+                m = (cos >= thr) | np.isnan(cos)
+                m &= ids[s0:e0, None] < ids[None, s1:e1]
+                ra, rb = np.nonzero(m)
+                if len(ra):
+                    out_a.append(ids[s0:e0][ra])
+                    out_b.append(ids[s1:e1][rb])
+                    out_c.append(cos[ra, rb])
+        if not out_a:
+            return empty
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "cosine": np.concatenate(out_c),
+            }
+        )
+
+    return keyed.drop("__n").groupBy("bucket").applyInPandas(
+        lambda pdf: _bucket_pairs(pdf), schema=out_schema
     )
 
 
@@ -604,6 +697,7 @@ def int8_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    use_expr: bool = False,
 ) -> DataFrame:
     """Quantized inner-product top-k: quantize both sides, broadcast
     the (small) query codes, score with the INTEGER dot, rank per
@@ -612,17 +706,65 @@ def int8_topk(
     recall floor vs `brute_force_topk` is pinned in tests) — given the
     codes, the result is exact and deterministic.
 
+    Default scoring path (round-6 optimization): the query codes are
+    collected (they are the tiny side by contract — the old path
+    broadcast them anyway) and every corpus batch is scored with ONE
+    int64 matrix product. Integer addition is associative-exact, so
+    matmul summation order CANNOT change a score — the one hash-exact
+    case where BLAS-style reduction is legal (the float paths all keep
+    the sequential fold). The old crossJoin paid an interpreted
+    64-step zip_with/aggregate per (corpus, query) pair — measured
+    7.3 s at sf1.0 vs ~2 s. use_expr=True keeps the Catalyst
+    crossJoin twin (oracle-shape clarity; parity-pinned in tests).
+
     Output: (query_id, id, score, rank) with score the raw integer
     dot (cosine ~= score / 127^2)."""
-    c = quantize_int8(corpus, vec_col, "codes").select(id_col, "codes")
+    from gdal_vfr_spark.plans.skew import spread_small_input
+
+    # spread BEFORE quantize: the transform/round projection is the
+    # per-row cost and must not run on a single scan partition
+    c = quantize_int8(
+        spread_small_input(corpus.select(id_col, vec_col)), vec_col, "codes"
+    ).select(id_col, "codes")
     q = quantize_int8(queries, query_vec_col, "qcodes").select(
         query_id_col, "qcodes"
     )
-    scored = c.crossJoin(F.broadcast(q)).select(
-        F.col(query_id_col),
-        F.col(id_col),
-        int8_dot_expr(F.col("qcodes"), F.col("codes")).alias("score"),
-    )
+    if use_expr:
+        scored = c.crossJoin(F.broadcast(q)).select(
+            F.col(query_id_col),
+            F.col(id_col),
+            int8_dot_expr(F.col("qcodes"), F.col("codes")).alias("score"),
+        )
+    else:
+        qrows = q.collect()
+        qids = np.asarray([r[query_id_col] for r in qrows], dtype=np.int64)
+        Q = (
+            np.asarray([r["qcodes"] for r in qrows], dtype=np.int64)
+            if qrows
+            else np.zeros((0, 1), dtype=np.int64)
+        )
+        qid_dt = queries.schema[query_id_col].dataType.simpleString()
+        id_dt = corpus.schema[id_col].dataType.simpleString()
+        schema = f"{query_id_col} {qid_dt}, {id_col} {id_dt}, score long"
+
+        def _score(batches):
+            for pdf in batches:
+                n = len(pdf)
+                if n == 0 or len(qids) == 0:
+                    continue
+                Cm = np.asarray(
+                    [np.asarray(v, dtype=np.int64) for v in pdf["codes"]]
+                )
+                S = Cm @ Q.T  # (n, m) int64 — overflow-free: dim*127^2
+                yield pd.DataFrame(
+                    {
+                        query_id_col: np.tile(qids, n),
+                        id_col: np.repeat(pdf[id_col].to_numpy(), len(qids)),
+                        "score": S.ravel(),
+                    }
+                )
+
+        scored = c.mapInPandas(_score, schema)
     w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -667,27 +809,39 @@ def _semantic_dom_block(
     nb, d = Xb.shape
     ny = Y.shape[0]
     dom = np.zeros(nb, dtype=bool)
-    eff_block = max(16, min(block, (32 << 20) // max(ny, 1)))
+    # Round-6: tile BOTH axes so the accumulator fits in cache. The old
+    # x-only blocking bounded Sb to ~256 MB, so each of the d passes
+    # streamed the whole scratch matrix through DRAM (~2 * 256 MB * d
+    # of traffic). A 512 x 1024 tile is 4 MB — the d accumulation
+    # passes run out of L2/L3 instead (measured ~3x on a 31k-member
+    # hot cluster). Per-pair float64 op order is unchanged (each pair's
+    # dot still accumulates one dimension at a time), so the mask is
+    # bit-identical for any tiling — pinned by the block=7 parity test.
+    eff_block = max(16, min(block, 512))
+    y_block = 1024
     tmp = None
     for s in range(0, nb, eff_block):
         e = min(s + eff_block, nb)
-        Sb = np.zeros((e - s, ny))
-        if tmp is None or tmp.shape != Sb.shape:
-            tmp = np.empty_like(Sb)
-        for i in range(d):
-            # in-place: same multiply/add per element in the same
-            # order as `Sb = Sb + np.outer(...)`, ~2x less memory
-            # traffic (no fresh result arrays) — the kernel is
-            # bandwidth-bound, not flop-bound
-            np.outer(Xb[s:e, i], Y[:, i], out=tmp)
-            Sb += tmp
-        cosb = Sb / np.outer(nrm_b[s:e], nrm_y)
-        m = cosb >= tau
-        m[ids_b[s:e, None] == ids_y[None, :]] = False
-        lower = (cs_y[None, :] < cs_b[s:e, None]) | (
-            (cs_y[None, :] == cs_b[s:e, None]) & (ids_y[None, :] < ids_b[s:e, None])
-        )
-        dom[s:e] = (m & lower).any(axis=1)
+        for ys in range(0, ny, y_block):
+            ye = min(ys + y_block, ny)
+            Sb = np.zeros((e - s, ye - ys))
+            if tmp is None or tmp.shape != Sb.shape:
+                tmp = np.empty_like(Sb)
+            for i in range(d):
+                # in-place: same multiply/add per element in the same
+                # order as `Sb = Sb + np.outer(...)`, ~2x less memory
+                # traffic (no fresh result arrays) — the kernel is
+                # bandwidth-bound, not flop-bound
+                np.outer(Xb[s:e, i], Y[ys:ye, i], out=tmp)
+                Sb += tmp
+            cosb = Sb / np.outer(nrm_b[s:e], nrm_y[ys:ye])
+            m = cosb >= tau
+            m[ids_b[s:e, None] == ids_y[None, ys:ye]] = False
+            lower = (cs_y[None, ys:ye] < cs_b[s:e, None]) | (
+                (cs_y[None, ys:ye] == cs_b[s:e, None])
+                & (ids_y[None, ys:ye] < ids_b[s:e, None])
+            )
+            dom[s:e] |= (m & lower).any(axis=1)
     return dom
 
 
@@ -756,6 +910,9 @@ def semantic_dedup(
 
     Output: survivors as (id_col, cid bigint) — both integer columns,
     so the oracle hash is float-free."""
+    from gdal_vfr_spark.plans.skew import spread_small_input
+
+    corpus = spread_small_input(corpus)
     cents = kmeans_centroids(
         corpus, k=n_centroids, n_iter=n_iter, id_col=id_col,
         vec_col=vec_col, dim=dim,
@@ -786,11 +943,13 @@ def semantic_dedup(
             )
             return pd.DataFrame(out_cols).loc[~dom]
 
-        grouped = assigned.groupBy("cid").applyInPandas(
-            _drop_group, schema=out_schema
-        )
         if hot_cluster_rows is None:
-            return grouped
+            # pure grouped path: no probe job, no persist (advice item
+            # 4 — the default path's probe is eager by necessity, but
+            # the opt-out path must stay fully lazy)
+            return assigned.groupBy("cid").applyInPandas(
+                _drop_group, schema=out_schema
+            )
         # hot-cluster probe: map-side-combined counts, tiny collect
         assigned = assigned.persist()
         hot = (
@@ -804,14 +963,14 @@ def semantic_dedup(
                 _drop_group, schema=out_schema
             )
         budget = (512 << 20) // (dim * 8)
-        for r in hot:
-            if r["count"] > budget:
-                raise ValueError(
-                    f"semantic_dedup: cluster {r['cid']} has {r['count']} rows"
-                    f" > broadcast budget {budget}; increase n_centroids so"
-                    " clusters shrink (SemDeDup's own knob) or raise"
-                    " hot_cluster_rows past the cluster size"
-                )
+        total_hot = sum(r["count"] for r in hot)
+        if total_hot > budget:
+            raise ValueError(
+                f"semantic_dedup: {len(hot)} hot clusters total {total_hot}"
+                f" rows > broadcast budget {budget}; increase n_centroids so"
+                " clusters shrink (SemDeDup's own knob) or raise"
+                " hot_cluster_rows past the cluster size"
+            )
         hot_cids = sorted(int(r["cid"]) for r in hot)
         spark = corpus.sparkSession
         cold_out = (
@@ -819,24 +978,43 @@ def semantic_dedup(
             .groupBy("cid")
             .applyInPandas(_drop_group, schema=out_schema)
         )
-        outs = [cold_out]
+        # Round-6 (verdict item 1): ALL hot clusters are collected in
+        # ONE job and shipped in ONE broadcast; the dominated mask then
+        # runs as a single mapInPandas over the hot rows (batches group
+        # locally by cid), so N boilerplate mega-clusters cost one
+        # driver round-trip and one plan — not N sequential jobs. The
+        # budget guard above is enforced on the SUM over hot clusters
+        # (advice item 3), since that is what the driver and every
+        # executor actually hold.
+        hot_src = assigned.where(F.col("cid").isin(hot_cids)).select(
+            "cid", "__id", "__v"
+        )
+        mats: dict[int, tuple] = {}
+        collected = hot_src.collect()
+        by_cid: dict[int, list] = {hc: [] for hc in hot_cids}
+        for r in collected:
+            by_cid[int(r["cid"])].append(r)
         for hc in hot_cids:
-            rows = assigned.where(F.col("cid") == hc).select("__id", "__v").collect()
+            rows = by_cid[hc]
             ids_y = np.asarray([r["__id"] for r in rows], dtype=np.int64)
             Y = np.asarray(
                 [np.asarray(r["__v"], dtype=np.float64) for r in rows]
             )
             nrm_y, cs_y = _semantic_fold_stats(Y, C[hc])
-            bc = spark.sparkContext.broadcast((Y, ids_y, nrm_y, cs_y))
+            mats[hc] = (Y, ids_y, nrm_y, cs_y)
+        bc = spark.sparkContext.broadcast(mats)
 
-            def _hot_fn(batches, hc=hc, bc=bc):
-                Yv, ids_yv, nrm_yv, cs_yv = bc.value
-                for pdf in batches:
-                    if len(pdf) == 0:
-                        continue
-                    ids_b = pdf["__id"].to_numpy(dtype=np.int64)
+        def _hot_fn(batches):
+            m = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                for cidv, sub in pdf.groupby("cid", sort=False):
+                    hc = int(cidv)
+                    Yv, ids_yv, nrm_yv, cs_yv = m[hc]
+                    ids_b = sub["__id"].to_numpy(dtype=np.int64)
                     Xb = np.asarray(
-                        [np.asarray(v, dtype=np.float64) for v in pdf["__v"]]
+                        [np.asarray(v, dtype=np.float64) for v in sub["__v"]]
                     )
                     nrm_b, cs_b = _semantic_fold_stats(Xb, C[hc])
                     dom = _semantic_dom_block(
@@ -850,15 +1028,8 @@ def semantic_dedup(
                         }
                     )
 
-            outs.append(
-                assigned.where(F.col("cid") == hc)
-                .select("__id", "__v")
-                .mapInPandas(_hot_fn, schema=out_schema)
-            )
-        result = outs[0]
-        for o in outs[1:]:
-            result = result.unionByName(o)
-        return result
+        hot_out = hot_src.mapInPandas(_hot_fn, schema=out_schema)
+        return cold_out.unionByName(hot_out)
     cent_arr = F.array(
         *[F.array(*[F.lit(float(x)) for x in c]) for _, c in cents]
     )

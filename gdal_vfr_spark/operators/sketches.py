@@ -281,8 +281,25 @@ def cms_topk(
     from gdal_vfr_spark.functions.text_expr import tokens_expr
 
     toks = docs.select(F.explode(tokens_expr(F.col(text_col))).alias("token"))
-    counters = cms_counters(toks, "token", depth, width)
-    est = cms_estimate(counters, toks, "token", depth, width)
+    # Round-6: aggregate the stream to (token, occurrences) FIRST (one
+    # map-side-combined shuffle of the distinct vocabulary — a shuffle
+    # this query already pays inside cms_estimate's candidate
+    # distinct), then md5 each DISTINCT token once. The counter table
+    # is identical because cnt is additive: sum of per-token occurrence
+    # counts == count of raw stream rows per (row, bucket). The old
+    # plan tokenized the corpus twice and ground one md5 + 4 bucket
+    # slices per token OCCURRENCE (measured 8.4 s at sf1.0 vs ~2 s).
+    occ = toks.groupBy("token").agg(F.count("*").alias("__occ")).persist()
+    wrows = occ.select(
+        "token", "__occ", F.md5(F.col("token")).alias("__dig")
+    ).select(
+        "__occ",
+        F.posexplode(_slices_from_digest(F.col("__dig"), depth, 8, width)).alias(
+            "row", "bucket"
+        ),
+    )
+    counters = wrows.groupBy("row", "bucket").agg(F.sum("__occ").alias("cnt"))
+    est = cms_estimate(counters, occ, "token", depth, width)
     return est.orderBy(F.desc("est_occ"), F.asc("token")).limit(n)
 
 

@@ -10,6 +10,7 @@ runtime, and determinism is what the oracle gate needs.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from gdal_vfr_spark.functions.text_expr import tokens_expr
@@ -77,17 +78,58 @@ def fingerprint_expr(text) -> F.Column:
     return F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " "))
 
 
-def with_lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
-    """lang_id as chained projections — THE hot path for 10^12 rows.
+_TOKEN_RE = "[^a-z0-9]+"  # the tokens_expr contract (functions.text_expr)
 
-    The single-expression form (lang_id_expr) duplicates the tokenizer
-    subtree into every stopword score and every tie-break comparison
-    (20+ re-tokenizations per row once Catalyst inlines the CASE).
-    Chaining withColumns materializes the token array and each score
-    exactly once per row: CollapseProject will not inline a non-cheap
-    attribute referenced more than once (same trick as
-    geo.cells.with_cell). Output is identical to lang_id_expr by test.
+
+def with_lang_id(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "lang_pred",
+    use_expr: bool = False,
+) -> DataFrame:
+    """Language ID column. Default path (round-6 optimization) is an
+    Arrow pandas UDF: tokens via the tokens_expr contract (lower,
+    split [^a-z0-9]+, drop empties — the word_shingle_hash_rows
+    precedent), per-language stopword hits via set lookups, argmax
+    with the same code-order tie-break. Stopword hits are exact
+    integer counts, so the Python path is trivially bit-identical to
+    the expression twin (parity-pinned in tests); a null text's scores
+    never beat `best > 0` in Catalyst, so like the empty doc both
+    paths emit 'und'. The Catalyst
+    chained-projection twin (use_expr=True) paid ~50 interpreted
+    higher-order array_contains steps per token (measured 5.5 s at
+    sf1.0 vs ~1 s for the Arrow pass; only the text column crosses
+    the boundary).
     """
+    if not use_expr:
+        import re as _re
+
+        langs = sorted(STOPWORDS)
+        sets = [frozenset(STOPWORDS[lang]) for lang in langs]
+        tok_re = _re.compile(_TOKEN_RE)
+
+        @F.pandas_udf("string")
+        def _lang(texts: pd.Series) -> pd.Series:
+            out = []
+            for t in texts:
+                if t is None:
+                    out.append("und")
+                    continue
+                toks = [x for x in tok_re.split(t.lower()) if x]
+                scores = [0] * len(sets)
+                for x in toks:
+                    for i, s in enumerate(sets):
+                        if x in s:
+                            scores[i] += 1
+                best = max(scores)
+                out.append(
+                    langs[scores.index(best)] if best > 0 else "und"
+                )
+            return pd.Series(out, dtype="object")
+
+        from gdal_vfr_spark.plans.skew import spread_small_input
+
+        return spread_small_input(df).withColumn(out_col, _lang(F.col(text_col)))
     langs = sorted(STOPWORDS)
     out = df.withColumn("__toks", tokens_expr(text_col))
     for lang in langs:
@@ -105,9 +147,73 @@ def with_lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pre
     return out.withColumn(out_col, pred).drop("__toks", "__best", *[f"__s_{lang}" for lang in langs])
 
 
-def with_quality(df: DataFrame, text_col: str = "text", out_col: str = "quality") -> DataFrame:
-    """quality_score as chained projections (tokens materialized once);
-    identical output to quality_score_expr by test."""
+def with_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "quality",
+    use_expr: bool = False,
+) -> DataFrame:
+    """Quality score column. Default path (round-6 optimization) is an
+    Arrow pandas UDF replicating quality_score_expr's float64 ops in
+    the identical order — 0.4*length_score + 0.3*stop_ratio +
+    0.3*alpha_ratio evaluated left-associatively, the same explicit
+    floor(x*1e6 + 0.5)/1e6 rounding — so the score is bit-identical
+    to the expression twin (parity-pinned in tests, including null /
+    empty text: Catalyst's size(null) = null is skipped by least(), so
+    a null doc scores 0.4 — reproduced branch-for-branch). The
+    Catalyst chained-projection twin (use_expr=True) paid ~40
+    interpreted array_contains steps per token plus a regex rewrite
+    of the full text (measured 5.6 s at sf1.0 vs ~1 s; only the text
+    column crosses the boundary).
+    """
+    if not use_expr:
+        import math as _math
+        import re as _re
+
+        all_stop = frozenset(
+            s for langset in sorted(STOPWORDS) for s in STOPWORDS[langset]
+        )
+        tok_re = _re.compile(_TOKEN_RE)
+        non_alpha_re = _re.compile("[^a-z]")
+
+        @F.pandas_udf("double")
+        def _quality(texts: pd.Series) -> pd.Series:
+            out = []
+            for t in texts:
+                if t is None:
+                    # Catalyst: size(null) = null; least() SKIPS nulls,
+                    # so length_score = 1.0 and the when()-guards give
+                    # 0.0 ratios -> quality 0.4 (pinned in the parity
+                    # test's null row)
+                    toks = None
+                    n = 0.0
+                    length_score = 1.0
+                else:
+                    toks = [x for x in tok_re.split(t.lower()) if x]
+                    n = float(len(toks))
+                    length_score = min(n / 100.0, 1.0)
+                if n > 0:
+                    hits = 0
+                    for x in toks:
+                        if x in all_stop:
+                            hits += 1
+                    stop_ratio = float(hits) / n
+                else:
+                    stop_ratio = 0.0
+                if t is not None and len(t) > 0:
+                    alpha = float(len(non_alpha_re.sub("", t.lower())))
+                    alpha_ratio = alpha / float(len(t))
+                else:
+                    alpha_ratio = 0.0
+                raw = 0.4 * length_score + 0.3 * stop_ratio + 0.3 * alpha_ratio
+                out.append(_math.floor(raw * 1000000.0 + 0.5) / 1000000.0)
+            return pd.Series(out, dtype="float64")
+
+        from gdal_vfr_spark.plans.skew import spread_small_input
+
+        return spread_small_input(df).withColumn(
+            out_col, _quality(F.col(text_col))
+        )
     t = F.col(text_col)
     out = df.withColumn("__toks", tokens_expr(text_col)).withColumn(
         "__n", F.size(F.col("__toks")).cast("double")
@@ -404,12 +510,112 @@ def value_quantiles(
     )
 
 
+def _repetition_stats_arrow(
+    df: DataFrame, text_col: str, id_col: str, top_n: int, dup_n: int
+) -> DataFrame:
+    """Map-only Arrow kernel behind repetition_stats: per-doc integer
+    n-gram budgets via local counters — no shuffle, no gram rows on
+    the wire. Bit-identical to the Catalyst twin because every output
+    is exact integer arithmetic over the same token stream."""
+    import re as _re
+
+    import pandas as _pd
+
+    id_dt = df.schema[id_col].dataType.simpleString()
+    schema = (
+        f"{id_col} {id_dt}, n_words long, word_chars long,"
+        f" distinct_words long, top{top_n}_chars long,"
+        f" dup{dup_n}_chars long, keep_repetition int"
+    )
+    src = df.select(id_col, text_col)
+    # small inputs arrive as 1-2 parquet splits; spread the map work
+    # (same trigger as word_shingle_hash_rows — at production partition
+    # counts this branch never fires)
+    if not src.isStreaming:
+        para = src.sparkSession.sparkContext.defaultParallelism
+        if src.rdd.getNumPartitions() < para:
+            src = src.repartition(para)
+    tok_re = _re.compile(r"[^a-z0-9]+")
+
+    def _stats(batches):
+        from collections import Counter
+
+        for pdf in batches:
+            ids = pdf[id_col]
+            texts = pdf[text_col]
+            o_id, o_nw, o_wc, o_dw, o_top, o_dup, o_keep = [], [], [], [], [], [], []
+            for j in range(len(pdf)):
+                t = texts.iloc[j]
+                if t is None or (isinstance(t, float)):
+                    continue
+                toks = [x for x in tok_re.split(str(t).lower()) if x]
+                if not toks:
+                    continue
+                lens = [len(x) for x in toks]
+                n_words = len(toks)
+                word_chars = sum(lens)
+                distinct_words = len(set(toks))
+                top_chars = 0
+                if top_n == 1:
+                    cnt = Counter(toks)
+                    top_chars = max(c * len(g) for g, c in cnt.items())
+                elif n_words >= top_n:
+                    cnt = Counter(
+                        tuple(toks[i : i + top_n])
+                        for i in range(n_words - top_n + 1)
+                    )
+                    # charlen excludes the joining spaces = sum of
+                    # member token lengths
+                    top_chars = max(
+                        c * sum(len(w) for w in g) for g, c in cnt.items()
+                    )
+                dup_chars = 0
+                if dup_n == 1:
+                    cnt = Counter(toks)
+                    dup_chars = sum(c * len(g) for g, c in cnt.items() if c > 1)
+                elif n_words >= dup_n:
+                    cnt = Counter(
+                        tuple(toks[i : i + dup_n])
+                        for i in range(n_words - dup_n + 1)
+                    )
+                    dup_chars = sum(
+                        c * sum(len(w) for w in g)
+                        for g, c in cnt.items()
+                        if c > 1
+                    )
+                keep = int(
+                    top_chars * 5 <= word_chars
+                    and dup_chars * 20 <= word_chars * 3
+                )
+                o_id.append(ids.iloc[j])
+                o_nw.append(n_words)
+                o_wc.append(word_chars)
+                o_dw.append(distinct_words)
+                o_top.append(top_chars)
+                o_dup.append(dup_chars)
+                o_keep.append(keep)
+            yield _pd.DataFrame(
+                {
+                    id_col: _pd.Series(o_id, dtype=ids.dtype),
+                    "n_words": _pd.Series(o_nw, dtype="int64"),
+                    "word_chars": _pd.Series(o_wc, dtype="int64"),
+                    "distinct_words": _pd.Series(o_dw, dtype="int64"),
+                    f"top{top_n}_chars": _pd.Series(o_top, dtype="int64"),
+                    f"dup{dup_n}_chars": _pd.Series(o_dup, dtype="int64"),
+                    "keep_repetition": _pd.Series(o_keep, dtype="int32"),
+                }
+            )
+
+    return src.mapInPandas(_stats, schema)
+
+
 def repetition_stats(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     top_n: int = 2,
     dup_n: int = 5,
+    use_expr: bool = False,
 ) -> DataFrame:
     """Gopher-style repetition profile per document, integer-exact
     (semantics class: Rae et al. 2021, "Scaling Language Models"
@@ -429,16 +635,25 @@ def repetition_stats(
         cross-multiplication (no float division): top-gram coverage
         <= 20% of word_chars AND dup-gram coverage <= 15%.
 
-    Plan shape (scales): ONE scan of the text column — words are
-    projected once, then {1, top_n, dup_n}-grams are built as tagged
-    structs and flattened into a single explode (a unionByName of
-    per-n branches would re-scan the corpus once per n). Then two
-    keyed shuffles: groupBy(id, n, gram) with map-side partial
-    aggregation (the n-gram stream never crosses the wire raw beyond
-    its per-partition distinct counts), and groupBy(id) over
-    doc-sized rows. Documents with zero tokens vanish at the explode
-    (no rows), mirroring the oracle's inner unnest.
+    Plan shape (scales): every budget is a PER-DOCUMENT aggregate, so
+    the default path is MAP-ONLY — an Arrow mapInPandas pass that
+    tokenizes (the tokens_expr contract: lower, split [^a-z0-9]+,
+    drop empties — the word_shingle_hash_rows precedent) and counts
+    each doc's n-grams locally. Zero shuffles: the n-gram stream
+    never crosses the wire at all (round-6 optimization; the old
+    tagged-explode + groupBy(id, n, gram) + groupBy(id) shape
+    shuffled ~12 gram rows per token twice — 19.7 s at sf1.0 vs the
+    per-doc counter's integer arithmetic, parity-pinned in
+    tests/test_dedup_text.py). Every budget is an integer computed
+    from exact token counts, so the Python path is trivially
+    bit-identical to the Catalyst twin. Documents with zero tokens
+    (or null text) emit no row, mirroring the oracle's inner unnest.
+
+    use_expr=True keeps the tagged-single-explode Catalyst twin
+    (oracle-shape clarity; two keyed shuffles).
     """
+    if not use_expr:
+        return _repetition_stats_arrow(df, text_col, id_col, top_n, dup_n)
     ns = sorted({1, top_n, dup_n})
     words = df.select(
         F.col(id_col), tokens_expr(text_col).alias("__w")

@@ -73,3 +73,25 @@ def salted_equi_join(
     f = salt_fact_side(fact, n_salt, fact_stable_col)
     d = explode_dim_side(dim, n_salt)
     return f.join(d, on=[on, "__salt"], how=how).drop("__salt")
+
+
+def spread_small_input(df: DataFrame) -> DataFrame:
+    """Round-robin-spread a DataFrame whose scan arrives in fewer
+    partitions than the cluster has cores (round-6: the bench fixtures
+    are single-row-group parquet files, so EVERY map-side pass over
+    them — Arrow UDF batches included — otherwise runs on one core).
+
+    Trigger matches word_shingle_hash_rows' precedent: only when the
+    current partition count is below defaultParallelism, so at
+    production partition counts (thousands of splits) this is a no-op
+    and costs nothing. Streaming inputs are left untouched (.rdd is
+    undefined on a stream). Spreading is a plain repartition —
+    deterministic results for every engine operator by the
+    partitioning-invariance discipline (pinned across the test suite).
+    """
+    if df.isStreaming:
+        return df
+    para = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < para:
+        return df.repartition(para)
+    return df

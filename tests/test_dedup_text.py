@@ -1112,3 +1112,90 @@ def test_semantic_dedup_matches_numpy_rule(spark):
         ).collect()
     )
     assert hot == expr_side
+
+
+def test_cosine_near_dup_pairs_kernel_parity(spark):
+    # round-6: the per-bucket numpy kernel must be bit-identical to the
+    # Catalyst self-join twin — same pairs AND same float64 cosines.
+    # n_planes=1 -> 2 fat buckets; block=16 forces multi-block
+    # (diagonal + off-diagonal) accumulation inside each bucket.
+    rng = np.random.default_rng(11)
+    emb = rng.standard_normal((120, 16)).astype(np.float32)
+    emb[50] = emb[10] + 1e-4  # planted near-dup
+    emb[60] = emb[10] * 1.7  # same direction, different scale
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": np.arange(120, dtype=np.int64),
+                "embedding": list(map(list, emb)),
+            }
+        )
+    )
+    fast = similarity.cosine_near_dup_pairs(
+        df, threshold=0.3, dim=16, n_planes=1, block=16
+    ).collect()
+    slow = similarity.cosine_near_dup_pairs(
+        df, threshold=0.3, dim=16, n_planes=1, use_expr=True
+    ).collect()
+    f = {(r["id_a"], r["id_b"]): r["cosine"] for r in fast}
+    s = {(r["id_a"], r["id_b"]): r["cosine"] for r in slow}
+    assert len(f) > 10  # the planted dups and random >=0.3 pairs exist
+    assert f == s  # exact float equality: bit-identical fold order
+
+
+def test_repetition_stats_arrow_equals_expr(spark, docs):
+    # round-6: the map-only Arrow path must match the tagged-explode
+    # Catalyst twin row-for-row (integer-exact budgets)
+    fast = text.repetition_stats(docs).collect()
+    slow = text.repetition_stats(docs, use_expr=True).collect()
+    assert sorted(map(tuple, fast)) == sorted(map(tuple, slow))
+    assert len(fast) == 6  # empty doc dropped
+
+
+def test_quality_lang_arrow_equals_expr(spark):
+    # round-6: Arrow pandas-UDF paths for with_quality / with_lang_id
+    # must be bit-identical to the Catalyst chained-projection twins,
+    # including the null and empty-text branches.
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog in the park"),
+        (2, "der schnelle braune fuchs und die katze ist mit dem hund"),
+        (3, "v praze je krasne a na veceri se tesime do restaurace"),
+        (4, "le chat est dans la maison et les enfants du parc"),
+        (5, ""),
+        (6, None),
+        (7, "zzz 123 456 --- !!!"),
+        (8, " ".join(f"w{i}" for i in range(150))),  # saturates length
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    fq = {r["doc_id"]: r["quality"] for r in text.with_quality(df).collect()}
+    sq = {
+        r["doc_id"]: r["quality"]
+        for r in text.with_quality(df, use_expr=True).collect()
+    }
+    assert fq == sq  # exact float equality
+    fl = {r["doc_id"]: r["lang_pred"] for r in text.with_lang_id(df).collect()}
+    sl = {
+        r["doc_id"]: r["lang_pred"]
+        for r in text.with_lang_id(df, use_expr=True).collect()
+    }
+    assert fl == sl
+
+
+def test_int8_topk_matmul_equals_expr(spark):
+    # round-6: the int64-matmul scorer must equal the Catalyst
+    # crossJoin twin exactly (integer dots are order-free-exact)
+    rng = np.random.default_rng(21)
+    emb = rng.standard_normal((200, 16)).astype(np.float32)
+    corpus = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": np.arange(200, dtype=np.int64), "embedding": list(map(list, emb))}
+        )
+    )
+    q = corpus.where("vec_id < 4").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    fast = similarity.int8_topk(corpus, q, k=5).collect()
+    slow = similarity.int8_topk(corpus, q, k=5, use_expr=True).collect()
+    key = lambda r: (r["query_id"], r["rank"])
+    assert sorted(map(tuple, fast)) == sorted(map(tuple, slow))
+    assert len(fast) == 20

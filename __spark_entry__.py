@@ -2375,7 +2375,9 @@ def q_text_extract(spark, sf_dir):
     (functions.html_text, pure Catalyst regex chain, no Python
     boundary) must reproduce the expected text byte-for-byte. n_match
     must equal n_docs in BOTH engines."""
-    docs = _read(spark, sf_dir, "documents")
+    from gdal_vfr_spark.plans.skew import spread_small_input
+
+    docs = spread_small_input(_read(spark, sf_dir, "documents").select("lang", "text"))
     text = F.coalesce(F.col("text"), F.lit(""))
     html = F.encode(
         F.concat(F.lit(_PAGE_HEAD), html_text.escape_text_expr(text), F.lit(_PAGE_TAIL)),
@@ -2460,7 +2462,18 @@ def q_pipeline_e2e(spark, sf_dir, quality_min: float = 0.45):
     containment -> per-(municipality, language) doc counts. Every stage
     is exact, so the WHOLE pipeline has a value-hash oracle."""
     _ensure_shipped(spark)
-    docs = _read(spark, sf_dir, "documents")
+    from gdal_vfr_spark.plans.skew import spread_small_input
+
+    raw = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spread_small_input(raw)
+    if docs is not raw:
+        # barrier: PushDownPredicates happily moves the byte-identity
+        # Filter AND the quality-UDF filter below a bare round-robin
+        # exchange, putting the regex chain back on the single scan
+        # partition (observed in plans/r06/pipeline_e2e). A lazy
+        # localCheckpoint pins the spread 6 MB doc set so every
+        # downstream gate actually runs on all cores.
+        docs = docs.localCheckpoint(eager=False)
     text = F.coalesce(F.col("text"), F.lit(""))
     html = F.encode(
         F.concat(F.lit(_PAGE_HEAD), html_text.escape_text_expr(text), F.lit(_PAGE_TAIL)),
@@ -3045,7 +3058,9 @@ def q_sketch_hll_distinct(spark, sf_dir):
     from gdal_vfr_spark.functions.text_expr import tokens_expr
     from gdal_vfr_spark.operators import sketches
 
-    docs = _read(spark, sf_dir, "documents")
+    from gdal_vfr_spark.plans.skew import spread_small_input
+
+    docs = spread_small_input(_read(spark, sf_dir, "documents").select("text"))
     toks = docs.select(F.explode(tokens_expr(F.col("text"))).alias("token"))
     return sketches.hll_distinct(toks, "token")
 
@@ -3059,7 +3074,11 @@ def q_sketch_hll_by_source(spark, sf_dir):
     from gdal_vfr_spark.functions.text_expr import tokens_expr
     from gdal_vfr_spark.operators import sketches
 
-    docs = _read(spark, sf_dir, "documents")
+    from gdal_vfr_spark.plans.skew import spread_small_input
+
+    docs = spread_small_input(
+        _read(spark, sf_dir, "documents").select("source", "text")
+    )
     toks = docs.select(
         "source", F.explode(tokens_expr(F.col("text"))).alias("token")
     )

@@ -338,12 +338,18 @@ def minhash_lsh_pairs(
         pairs = all_pairs.unionByName(star).distinct()
     sa = sig.select(F.col(id_col).alias("id_a"), F.col("minhash").alias("mh_a"))
     sb = sig.select(F.col(id_col).alias("id_b"), F.col("minhash").alias("mh_b"))
-    agree = F.size(
-        F.filter(
-            F.zip_with(F.col("mh_a"), F.col("mh_b"), lambda x, y: x == y),
-            lambda eq: eq,
-        )
-    )
+    # agreement as an unrolled element_at sum, NOT zip_with+filter:
+    # higher-order functions are interpreted per element and fall out
+    # of whole-stage codegen — at sf1.0 the pair table is ~87M rows, so
+    # the HOF paid ~1.4G interpreted steps (round-6; same integer count,
+    # bit-identical jaccard_est)
+    agree = None
+    for i in range(1, num_hashes + 1):
+        term = F.when(
+            F.element_at(F.col("mh_a"), i) == F.element_at(F.col("mh_b"), i),
+            F.lit(1),
+        ).otherwise(F.lit(0))
+        agree = term if agree is None else agree + term
     return (
         pairs.join(sa, "id_a")
         .join(sb, "id_b")
@@ -681,6 +687,12 @@ def incremental_dedup(
     rows = num_hashes // bands
     if bands * rows != num_hashes:
         raise ValueError("bands must divide num_hashes")
+    from gdal_vfr_spark.plans.skew import spread_small_input
+
+    # round-6: both signature grinds are the map-heavy passes; spread
+    # single-row-group fixture scans (no-op at production counts)
+    history = spread_small_input(history.select(id_col, text_col))
+    batch = spread_small_input(batch.select(id_col, text_col))
     hist_hashes = history.select(F.md5(F.col(text_col)).alias("__h")).distinct()
     batch_hashed = batch.select(id_col, F.md5(F.col(text_col)).alias("__h"))
     exact_ids = (
@@ -839,7 +851,12 @@ def exact_substring_spans(
     L = int(window_tokens)
     if L < 2:
         raise ValueError(f"window_tokens must be >= 2, got {L}")
-    words = df.select(
+    from gdal_vfr_spark.plans.skew import spread_small_input
+
+    # round-6: the window construction (slice + concat_ws + md5 per
+    # window) is the map-heavy pass; a single-row-group fixture file
+    # otherwise runs it on one core
+    words = spread_small_input(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col), tokens_expr(text_col).alias("__w")
     )
     w = F.col("__w")

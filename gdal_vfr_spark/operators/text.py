@@ -409,6 +409,9 @@ def bm25_topk(
     # ONE corpus tokenization feeds both tf and dl: dl = sum(tf) over
     # the doc partition (a window on the already-aggregated tf table —
     # no second scan, no corpus-sized sort-merge join back to docs)
+    from gdal_vfr_spark.plans.skew import spread_small_input
+
+    docs = spread_small_input(docs.select(id_col, text_col))
     toks = docs.select(F.col(id_col), F.explode(tokens_expr(text_col)).alias("term"))
     tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
     tf = tf.withColumn("dl", F.sum("tf").over(Window.partitionBy(id_col)))

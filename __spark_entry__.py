@@ -3165,10 +3165,12 @@ def q_geo_pip_hierarchy3(spark, sf_dir):
     parents = datagen.gen_katastralni_uzemi(spark).select(
         F.col("kod").alias("ku_kod"), F.col("obec_kod")
     )
+    from gdal_vfr_spark.plans.skew import spread_small_input
+
     geo = am.where(F.col("lon").isNotNull())
     pip_counts = (
         _ku_joiner(spark)
-        .apply(geo.select("kod", "lon", "lat"))
+        .apply(spread_small_input(geo.select("kod", "lon", "lat")))
         .join(F.broadcast(parents), "ku_kod")
         .groupBy("obec_kod")
         .agg(F.count("*").alias("n_pip"))

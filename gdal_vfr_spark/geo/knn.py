@@ -557,8 +557,15 @@ class LineKNNJoiner:
                 T.StructField("rank", T.IntegerType()),
             ]
         )
-        src = points_df.select(id_col, lon_col, lat_col).where(
-            F.col(lon_col).isNotNull() & F.col(lat_col).isNotNull()
+        from gdal_vfr_spark.plans.skew import spread_small_input
+
+        # round-6: the ring-walk kernel is the whole cost of this join;
+        # spread a few-partition point scan so it runs on every core
+        # (no-op on production partition counts)
+        src = spread_small_input(
+            points_df.select(id_col, lon_col, lat_col).where(
+                F.col(lon_col).isNotNull() & F.col(lat_col).isNotNull()
+            )
         )
 
         def _map(batches):
@@ -601,8 +608,12 @@ class LineKNNJoiner:
                 T.StructField("dist2", T.DoubleType()),
             ]
         )
-        src = points_df.select(id_col, lon_col, lat_col).where(
-            F.col(lon_col).isNotNull() & F.col(lat_col).isNotNull()
+        from gdal_vfr_spark.plans.skew import spread_small_input
+
+        src = spread_small_input(
+            points_df.select(id_col, lon_col, lat_col).where(
+                F.col(lon_col).isNotNull() & F.col(lat_col).isNotNull()
+            )
         )
 
         def _map(batches):
@@ -711,8 +722,12 @@ def knn_join(
         ]
     )
 
-    src = points_df.select(id_col, lon_col, lat_col).where(
-        F.col(lon_col).isNotNull() & F.col(lat_col).isNotNull()
+    from gdal_vfr_spark.plans.skew import spread_small_input
+
+    src = spread_small_input(
+        points_df.select(id_col, lon_col, lat_col).where(
+            F.col(lon_col).isNotNull() & F.col(lat_col).isNotNull()
+        )
     )
 
     def _map(batches):

@@ -380,6 +380,12 @@ class PIPJoiner:
 
         cover_sdf = self._cover_sdf
         bc = self._bc
+        # (round-6 measured negative result: unconditionally spreading
+        # points_df here cost more than it saved for interior-heavy
+        # joins — geo_pip_counts 1.37s -> 1.8s at sf1.0, the exchange
+        # of the full-width point rows outweighing the mostly-JVM
+        # refine. Callers with boundary-heavy refines spread their own
+        # narrow point projection instead: q_geo_pip_hierarchy3.)
         base = points_df
         rid = "__pip_rid"
         if how == "left":

@@ -912,7 +912,11 @@ def semantic_dedup(
     so the oracle hash is float-free."""
     from gdal_vfr_spark.plans.skew import spread_small_input
 
-    corpus = spread_small_input(corpus)
+    # spread once and cache the narrow (id, vec) relation: k-means
+    # scans it twice (n_iter jobs), the assignment once and the probe
+    # once — without the boundary each job re-reads + re-exchanges the
+    # corpus (the minhash signature-cache rationale)
+    corpus = spread_small_input(corpus.select(id_col, vec_col)).persist()
     cents = kmeans_centroids(
         corpus, k=n_centroids, n_iter=n_iter, id_col=id_col,
         vec_col=vec_col, dim=dim,
@@ -951,13 +955,26 @@ def semantic_dedup(
                 _drop_group, schema=out_schema
             )
         # hot-cluster probe: map-side-combined counts, tiny collect
+        # (k rows — one per cluster)
         assigned = assigned.persist()
-        hot = (
-            assigned.groupBy("cid")
-            .count()
-            .where(F.col("count") > int(hot_cluster_rows))
-            .collect()
-        )
+        counts = assigned.groupBy("cid").count().collect()
+        # Round-6: ADAPTIVE straggler threshold. With k clusters on P
+        # cores, the grouped path runs at most k tasks — k=8 on 32
+        # cores leaves 3/4 of the machine idle while every task grinds
+        # a B^2 kernel. A cluster is routed through the broadcast
+        # map-side path (bit-identical, parity-pinned) when it exceeds
+        # the smaller of the caller's hot_cluster_rows and ~total/(2P)
+        # — i.e. when it cannot be a fair per-core share. The adaptive
+        # term only drops below hot_cluster_rows when the whole corpus
+        # is small enough that collecting the hot set is trivially
+        # inside the broadcast budget (total < 2 * P * hot_cluster_rows
+        # rows); at production scale it is inert and the explicit
+        # hot_cluster_rows cap governs, exactly as before.
+        para = corpus.sparkSession.sparkContext.defaultParallelism
+        total_rows = sum(r["count"] for r in counts)
+        adaptive = max(64, total_rows // (2 * max(para, 1)))
+        thr = min(int(hot_cluster_rows), adaptive)
+        hot = [r for r in counts if r["count"] > thr]
         if not hot:
             return assigned.groupBy("cid").applyInPandas(
                 _drop_group, schema=out_schema

@@ -308,6 +308,13 @@ def minhash_lsh_pairs(
         id_col, "minhash", F.explode(band_keys_expr(F.col("minhash"), bands, rows)).alias("band_key")
     )
     if max_bucket is None:
+        # (round-6 measured negative result: computing the agreement
+        # INLINE in the band join — minhash arrays on both join sides,
+        # distinct over (id_a, id_b, jaccard) — was 6x SLOWER (90.8s vs
+        # 15.7s at sf1.0): the 90M-row join output materializes two
+        # 16-long arrays per candidate row BEFORE the distinct, where
+        # the bare-id shape pays two broadcast hash probes AFTER the
+        # distinct instead. Keep bare-id pairs + post-distinct rejoin.)
         a = exploded.select(F.col(id_col).alias("id_a"), F.col("band_key")).alias("a")
         b = exploded.select(F.col(id_col).alias("id_b"), F.col("band_key")).alias("b")
         # distinct over bare id pairs (cheap), then rejoin the cached

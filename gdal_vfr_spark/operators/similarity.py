@@ -56,8 +56,14 @@ def brute_force_topk(
     """Exact cosine top-k: broadcast the (small) query set against the
     corpus, score every pair, rank per query. Output: (query_id,
     neighbor id, rank); ties broken by corpus id (deterministic)."""
+    from gdal_vfr_spark.plans.skew import spread_small_input
+
     q = queries.select(query_id_col, query_vec_col)
-    scored = corpus.select(id_col, vec_col).crossJoin(F.broadcast(q)).select(
+    # the interpreted fold cosine per (corpus, query) pair is the whole
+    # cost; spread a few-partition corpus scan so it uses every core
+    scored = spread_small_input(corpus.select(id_col, vec_col)).crossJoin(
+        F.broadcast(q)
+    ).select(
         F.col(query_id_col),
         F.col(id_col),
         cosine_expr(F.col(vec_col), F.col(query_vec_col)).alias("cosine"),

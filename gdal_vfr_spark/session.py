@@ -76,6 +76,16 @@ def get_spark(
         # filter-free MAX/MIN/COUNT (A5-style sequence resync) answered
         # from parquet footers instead of scanning row groups
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # Input split size (round-6, guide §6): scale-dependent, so it
+        # is an env knob. The LOCAL default (32m) splits the bench's
+        # 100-200 MB fact files across several scan tasks instead of
+        # 1-2; on a production cluster reading thousands of files, set
+        # SPARK_GRAFT_MAX_PARTITION_BYTES=512m-1g so large sequential
+        # scans keep few, big map tasks (fewer shuffle blocks, §2.2).
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "32m"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -2174,8 +2174,9 @@ def q_web_url_canonicalize(spark, sf_dir):
     Catalyst regexp chain in the Java∩RE2 subset; the DuckDB twin
     mirrors it with 'g'-flag replaces."""
     from gdal_vfr_spark.functions import urls as url_fns
+    from gdal_vfr_spark.plans.skew import spread_small_input
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = spread_small_input(_read(spark, sf_dir, "documents"))
     hosts = F.array(*[F.lit(h) for h in _WEB_HOSTS])
     h = F.element_at(hosts, (F.col("doc_id") % 8 + 1).cast("int"))
     h = F.when(F.col("doc_id") % 4 == 1, F.upper(h)).otherwise(h)
@@ -2629,7 +2630,9 @@ def q_pipeline_clean_full(spark, sf_dir):
 
     from gdal_vfr_spark.functions import urls as url_fns
 
-    docs = _read(spark, sf_dir, "documents")
+    from gdal_vfr_spark.plans.skew import spread_small_input
+
+    docs = spread_small_input(_read(spark, sf_dir, "documents"))
     blocked = spark.createDataFrame(
         [(d,) for d in _PIPE_BLOCKED], "domain string"
     )
@@ -2915,8 +2918,12 @@ def q_multimodal_decode(spark, sf_dir):
 
     from gdal_vfr_spark.operators import multimodal as mm
 
+    from gdal_vfr_spark.plans.skew import spread_small_input
+
     o = _read(spark, sf_dir, "orders").where(F.col("o_orderkey") % 100 == 13)
-    src = o.select(F.col("o_orderkey").alias("key"))
+    # the raster/PCM synth + decode kernels are the whole cost; spread
+    # the filtered key set so they run on every core
+    src = spread_small_input(o.select(F.col("o_orderkey").alias("key")))
 
     def _synth(batches):
         for pdf in batches:

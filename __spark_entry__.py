@@ -2918,12 +2918,11 @@ def q_multimodal_decode(spark, sf_dir):
 
     from gdal_vfr_spark.operators import multimodal as mm
 
-    from gdal_vfr_spark.plans.skew import spread_small_input
-
     o = _read(spark, sf_dir, "orders").where(F.col("o_orderkey") % 100 == 13)
-    # the raster/PCM synth + decode kernels are the whole cost; spread
-    # the filtered key set so they run on every core
-    src = spread_small_input(o.select(F.col("o_orderkey").alias("key")))
+    # (round-6 measured negative result: spreading the filtered key set
+    # cost 1.9s at sf0.1 — per-task overhead across the multi-stage
+    # mapInPandas chain — for a 0.5s sf1.0 gain; reverted)
+    src = o.select(F.col("o_orderkey").alias("key"))
 
     def _synth(batches):
         for pdf in batches:

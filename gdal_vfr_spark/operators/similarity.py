@@ -338,9 +338,6 @@ def kmeans_centroids(
     construction AND by test, but interpreted (and its 512-literal
     centroid array re-codegens per call), so it exists for oracle
     parity, not for the hot path."""
-    from gdal_vfr_spark.plans.skew import spread_small_input
-
-    corpus = spread_small_input(corpus)
     seeds = (
         corpus.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
     )
@@ -921,8 +918,12 @@ def semantic_dedup(
     # spread once and cache the narrow (id, vec) relation: k-means
     # scans it twice (n_iter jobs), the assignment once and the probe
     # once — without the boundary each job re-reads + re-exchanges the
-    # corpus (the minhash signature-cache rationale)
-    corpus = spread_small_input(corpus.select(id_col, vec_col)).persist()
+    # corpus (the minhash signature-cache rationale). Size-gated: for
+    # a corpus under ~4 MB the fan-out/caching overhead exceeds the
+    # whole computation (measured +0.7s at sf0.1's 2k vectors).
+    narrow = corpus.select(id_col, vec_col)
+    spreadv = spread_small_input(narrow, min_bytes=4 << 20)
+    corpus = spreadv.persist() if spreadv is not narrow else narrow
     cents = kmeans_centroids(
         corpus, k=n_centroids, n_iter=n_iter, id_col=id_col,
         vec_col=vec_col, dim=dim,
@@ -978,7 +979,15 @@ def semantic_dedup(
         # hot_cluster_rows cap governs, exactly as before.
         para = corpus.sparkSession.sparkContext.defaultParallelism
         total_rows = sum(r["count"] for r in counts)
+        max_rows = max((r["count"] for r in counts), default=0)
         adaptive = max(64, total_rows // (2 * max(para, 1)))
+        # engage the adaptive term only when the biggest grouped-path
+        # kernel is actually worth parallelizing (~max^2 * dim madds >=
+        # 2e8, i.e. >= ~0.2s of single-core work) — below that the
+        # collect+broadcast fixed costs exceed the straggler they fix
+        # (measured: +1.1s at sf0.1's 250-row clusters)
+        if max_rows * max_rows * dim < 200_000_000:
+            adaptive = int(hot_cluster_rows)
         thr = min(int(hot_cluster_rows), adaptive)
         hot = [r for r in counts if r["count"] > thr]
         if not hot:

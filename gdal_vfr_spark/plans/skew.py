@@ -75,7 +75,7 @@ def salted_equi_join(
     return f.join(d, on=[on, "__salt"], how=how).drop("__salt")
 
 
-def spread_small_input(df: DataFrame) -> DataFrame:
+def spread_small_input(df: DataFrame, min_bytes: int | None = None) -> DataFrame:
     """Round-robin-spread a DataFrame whose scan arrives in fewer
     partitions than the cluster has cores (round-6: the bench fixtures
     are single-row-group parquet files, so EVERY map-side pass over
@@ -91,6 +91,18 @@ def spread_small_input(df: DataFrame) -> DataFrame:
     """
     if df.isStreaming:
         return df
+    if min_bytes is not None:
+        # plan-stats gate (no job): when the relation is smaller than
+        # min_bytes the per-task overhead of fanning out exceeds the
+        # kernel work being spread — leave the scan partitioning alone
+        try:
+            size = int(
+                df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+        except Exception:
+            size = None
+        if size is not None and size < min_bytes:
+            return df
     para = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < para:
         return df.repartition(para)

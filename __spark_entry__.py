@@ -3561,61 +3561,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   4. r04-green rows at the back (1 round stale — their rows are
     #      committed in CORRECTNESS_r04.json).
     return {
-        # --- (1) changed in round 5 ---
-        "dedup_semantic": q_dedup_semantic,
-        "multimodal_meta": q_multimodal_meta,
-        "multimodal_frames": q_multimodal_frames,
-        "dedup_exact_substring": q_dedup_exact_substring,
-        "dedup_lsh_star": q_dedup_lsh_star,
-        "sketch_bottomk_quantiles": q_sketch_bottomk_quantiles,
-        "web_blocklist": q_web_blocklist,
-        "text_clean_lines": q_text_clean_lines,
-        "dedup_strip_boilerplate": q_dedup_strip_boilerplate,
-        "pipeline_clean_full": q_pipeline_clean_full,
-        "dedup_decontaminate_bloom": q_dedup_decontaminate_bloom,
-        "stream_dedup": q_stream_dedup,
-        "stream_minhash_dedup": q_stream_minhash_dedup,
-        "stream_first_per_ttl": q_stream_first_per_ttl,
-        "stream_sessionize": q_stream_sessionize,
-        # --- (2) r02-era driver rows (round-4 verdict item 2 list) ---
-        "pipeline_e2e": q_pipeline_e2e,
-        "a3_change_tally": q_a3_change_tally,
-        "stream_change_merge": q_stream_change_merge,
-        "skew_salted_count": q_skew_salted_count,
-        "stream_window_counts": q_stream_window_counts,
-        "stream_pip_counts": q_stream_pip_counts,
-        "skew_salted_join": q_skew_salted_join,
-        "p1_layer_select": q_p1_layer_select,
-        "p5_list_downgrade": q_p5_list_downgrade,
-        "f7_regex_extract": q_f7_regex_extract,
-        "p6_align_schema": q_p6_align_schema,
-        # --- (3) r03-era rows, 2 rounds stale (first 25 in-window) ---
-        "geo_pip_parcely_large": q_geo_pip_parcely_large,
-        "web_url_canonicalize": q_web_url_canonicalize,
-        "text_bm25_topk": q_text_bm25_topk,
-        "w_sessionize": q_w_sessionize,
-        "graph_pagerank": q_graph_pagerank,
-        "geo_range_join_large": q_geo_range_join_large,
-        "geo_knn_lines_large": q_geo_knn_lines_large,
-        "sample_temperature": q_sample_temperature,
-        "text_quantiles": q_text_quantiles,
-        "geo_pip_hierarchy_parcel": q_geo_pip_hierarchy_parcel,
-        "a2_wkb_validity": q_a2_wkb_validity,
-        "geo_tile_bbox_read": q_geo_tile_bbox_read,
-        "dedup_cc": q_dedup_cc,
-        "dedup_keep_best": q_dedup_keep_best,
-        "dedup_representatives": q_dedup_representatives,
-        "ann_topk": q_ann_topk,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "ann_ivf_indexed": q_ann_ivf_indexed,
-        "embedding_near_dup_exact": q_embedding_near_dup_exact,
-        "embedding_near_dup": q_embedding_near_dup,
-        "geo_pip_hierarchy": q_geo_pip_hierarchy,
-        "geo_pip_hierarchy3": q_geo_pip_hierarchy3,
-        "asof_join": q_asof_join,
-        "web_domain_stats": q_web_domain_stats,
-        # ---- 50-row window boundary (the 21 below lead round 6) ----
+        # Round-6 window rotation (verdict item 7 + COVERAGE.md rule —
+        # every query driver-green at most 2 rounds stale):
+        #   1. the 21 r1-r3-era queries whose newest committed driver
+        #      row predates round 4 (the r03-window overflow the
+        #      round-5 ordering already queued for this round);
+        #   2. the round-6 OPTIMIZED queries — their operators gained
+        #      new physical paths this round (Arrow kernels, spread
+        #      scans, adaptive hot routing), so a fresh driver row
+        #      certifies the new code even though every one is already
+        #      oracle-checked locally;
+        #   3. everything else in the round-5 relative order (newest
+        #      committed rows, at the back).
+        # --- (1) r1-r3-era stale driver rows ---
         "web_cap_per_domain": q_web_cap_per_domain,
         "s4_formats": q_s4_formats,
         "f9_dsn_extract": q_f9_dsn_extract,
@@ -3637,7 +3595,74 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f_dates": q_f_dates,
         "f_interval_expand": q_f_interval_expand,
         "f_json_extract": q_f_json_extract,
-        # --- (4) r04-green rows (committed in CORRECTNESS_r04.json) ---
+        # --- (2) optimized in round 6 ---
+        "embedding_near_dup": q_embedding_near_dup,
+        "text_repetition": q_text_repetition,
+        "text_quality": q_text_quality,
+        "text_lang": q_text_lang,
+        "pipeline_clean": q_pipeline_clean,
+        "pipeline_clean_full": q_pipeline_clean_full,
+        "pipeline_e2e": q_pipeline_e2e,
+        "text_extract": q_text_extract,
+        "ann_int8_topk": q_ann_int8_topk,
+        "ann_topk": q_ann_topk,
+        "sketch_cms_topk": q_sketch_cms_topk,
+        "sketch_hll_distinct": q_sketch_hll_distinct,
+        "sketch_hll_by_source": q_sketch_hll_by_source,
+        "dedup_semantic": q_dedup_semantic,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_lsh_star": q_dedup_lsh_star,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_incremental": q_dedup_incremental,
+        "dedup_exact_substring": q_dedup_exact_substring,
+        "text_bm25_topk": q_text_bm25_topk,
+        "web_url_canonicalize": q_web_url_canonicalize,
+        "geo_knn": q_geo_knn,
+        "geo_knn_lines": q_geo_knn_lines,
+        "geo_knn_lines_large": q_geo_knn_lines_large,
+        "geo_range_join": q_geo_range_join,
+        "geo_pip_hierarchy3": q_geo_pip_hierarchy3,
+        "dedup_cc": q_dedup_cc,
+        "dedup_keep_best": q_dedup_keep_best,
+        "dedup_representatives": q_dedup_representatives,
+        # --- (3) round-5 relative order ---
+        "multimodal_meta": q_multimodal_meta,
+        "multimodal_frames": q_multimodal_frames,
+        "sketch_bottomk_quantiles": q_sketch_bottomk_quantiles,
+        "web_blocklist": q_web_blocklist,
+        "text_clean_lines": q_text_clean_lines,
+        "dedup_strip_boilerplate": q_dedup_strip_boilerplate,
+        "dedup_decontaminate_bloom": q_dedup_decontaminate_bloom,
+        "stream_dedup": q_stream_dedup,
+        "stream_minhash_dedup": q_stream_minhash_dedup,
+        "stream_first_per_ttl": q_stream_first_per_ttl,
+        "stream_sessionize": q_stream_sessionize,
+        "a3_change_tally": q_a3_change_tally,
+        "stream_change_merge": q_stream_change_merge,
+        "skew_salted_count": q_skew_salted_count,
+        "stream_window_counts": q_stream_window_counts,
+        "stream_pip_counts": q_stream_pip_counts,
+        "skew_salted_join": q_skew_salted_join,
+        "p1_layer_select": q_p1_layer_select,
+        "p5_list_downgrade": q_p5_list_downgrade,
+        "f7_regex_extract": q_f7_regex_extract,
+        "p6_align_schema": q_p6_align_schema,
+        "geo_pip_parcely_large": q_geo_pip_parcely_large,
+        "w_sessionize": q_w_sessionize,
+        "graph_pagerank": q_graph_pagerank,
+        "geo_range_join_large": q_geo_range_join_large,
+        "sample_temperature": q_sample_temperature,
+        "text_quantiles": q_text_quantiles,
+        "geo_pip_hierarchy_parcel": q_geo_pip_hierarchy_parcel,
+        "a2_wkb_validity": q_a2_wkb_validity,
+        "geo_tile_bbox_read": q_geo_tile_bbox_read,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivf_indexed": q_ann_ivf_indexed,
+        "embedding_near_dup_exact": q_embedding_near_dup_exact,
+        "geo_pip_hierarchy": q_geo_pip_hierarchy,
+        "asof_join": q_asof_join,
+        "web_domain_stats": q_web_domain_stats,
         "m1_mode_dispatch": q_m1_mode_dispatch,
         "s6_sink_toggles": q_s6_sink_toggles,
         "s2_retry_plan": q_s2_retry_plan,
@@ -3649,31 +3674,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         "stream_decontaminate": q_stream_decontaminate,
         "dedup_decontaminate": q_dedup_decontaminate,
-        "sketch_hll_distinct": q_sketch_hll_distinct,
-        "sketch_hll_by_source": q_sketch_hll_by_source,
         "sketch_histogram": q_sketch_histogram,
-        "sketch_cms_topk": q_sketch_cms_topk,
-        "ann_int8_topk": q_ann_int8_topk,
         "geo_shape_stats": q_geo_shape_stats,
-        "dedup_incremental": q_dedup_incremental,
         "sample_epochs": q_sample_epochs,
-        "text_repetition": q_text_repetition,
-        "pipeline_clean": q_pipeline_clean,
         "w_tumbling_hour": q_w_tumbling_hour,
         "geo_pip_counts": q_geo_pip_counts,
         "geo_pip_rows": q_geo_pip_rows,
-        "geo_knn": q_geo_knn,
-        "geo_knn_lines": q_geo_knn_lines,
-        "geo_range_join": q_geo_range_join,
         "a2_wkb_presence": q_a2_wkb_presence,
         "p4_wkb_coalesce": q_p4_wkb_coalesce,
         "geo_tile_counts": q_geo_tile_counts,
         "dedup_exact": q_dedup_exact,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
-        "text_lang": q_text_lang,
-        "text_quality": q_text_quality,
         "text_tokens": q_text_tokens,
         "text_vocab": q_text_vocab,
         "text_pii_scrub": q_text_pii_scrub,
@@ -3682,7 +3693,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_source_stats": q_text_source_stats,
         "sample_stratified": q_sample_stratified,
         "text_fingerprint": q_text_fingerprint,
-        "text_extract": q_text_extract,
         "geo_tile_join": q_geo_tile_join,
     }
 

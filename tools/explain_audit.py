@@ -28,12 +28,15 @@ AUDIT = [
     ("j2_tombstone_anti", dict(max_python=0, max_shuffles=2)),
     ("geo_pip_counts", dict(max_python=1, want_broadcast=True, max_shuffles=2)),
     ("geo_pip_rows", dict(max_python=1, want_broadcast=True, max_shuffles=0)),
-    ("geo_knn", dict(max_python=1, max_shuffles=0)),
-    ("geo_knn_lines", dict(max_python=1, max_shuffles=1)),
+    # round-6: +1 small-input spread exchange before the point kernel
+    ("geo_knn", dict(max_python=1, max_shuffles=1)),
+    ("geo_knn_lines", dict(max_python=1, max_shuffles=2)),
     ("geo_pip_hierarchy3", dict(max_python=1, want_broadcast=True, max_shuffles=3)),
     ("a2_wkb_presence", dict(max_python=0, max_shuffles=1)),
     ("p4_wkb_coalesce", dict(max_python=0, max_shuffles=1)),
-    ("embedding_near_dup", dict(max_python=0, max_shuffles=2)),
+    # round-6: the per-bucket numpy pair kernel IS a python boundary now
+    # (FlatMapGroupsInPandas replaced the B^2 Catalyst fold self-join)
+    ("embedding_near_dup", dict(max_python=1, max_shuffles=2)),
     ("geo_tile_counts", dict(max_python=0, max_shuffles=2)),
     ("dedup_exact", dict(max_python=0, max_shuffles=2)),
     # minhash: the signature UDF is materialized ONCE into the cache
@@ -41,14 +44,16 @@ AUDIT = [
     # build subtree under both cache-reading branches with distinct ids,
     # so 2 plan occurrences = 1 execution.
     ("dedup_minhash_lsh", dict(max_python=2, max_shuffles=4)),
-    ("text_lang", dict(max_python=0, max_shuffles=1)),
-    ("ann_topk", dict(max_python=0, want_broadcast=True, max_shuffles=2)),
+    # round-6: Arrow pandas-UDF scorer + small-input spread
+    ("text_lang", dict(max_python=1, max_shuffles=2)),
+    ("ann_topk", dict(max_python=0, want_broadcast=True, max_shuffles=3)),
     ("w_tumbling_hour", dict(max_python=0, max_shuffles=2)),
-    ("text_extract", dict(max_python=0, max_shuffles=2)),
+    ("text_extract", dict(max_python=0, max_shuffles=3)),
     ("geo_tile_join", dict(max_python=0, want_broadcast=True, max_shuffles=3)),
     ("asof_join", dict(max_python=0, max_shuffles=3)),
     ("a3_change_tally", dict(max_python=0, max_shuffles=2)),
-    ("pipeline_e2e", dict(max_python=1, want_broadcast=True, max_shuffles=3)),
+    # round-6: quality + lang Arrow scorers join the PIP refine (3 python)
+    ("pipeline_e2e", dict(max_python=3, want_broadcast=True, max_shuffles=3)),
     ("skew_salted_join", dict(max_python=0, max_shuffles=4)),
     ("skew_salted_count", dict(max_python=0, max_shuffles=3)),
     # IVF: 2 Arrow boundaries (corpus assignment + query probe); corpus
@@ -77,13 +82,13 @@ AUDIT = [
     # 2 small-input round-robin rebalances (never fire at production
     # partition counts), bench distinct, per-doc count agg, orderBy
     ("dedup_decontaminate", dict(max_python=2, want_broadcast=True, max_shuffles=5)),
-    ("web_url_canonicalize", dict(max_python=0, max_shuffles=1)),
+    ("web_url_canonicalize", dict(max_python=0, max_shuffles=2)),
     # bm25: ONE corpus scan. Corpus-sized exchanges: tf agg, dl window
     # (doc key), df window (term key, pruned slice), score agg, top-k
     # window, contract orderBy = 6; the other 2 counted exchanges are
     # distinct-aggs over the 9-row literal query-terms frame (one per
     # broadcast branch) — constant-size, not scale-relevant
-    ("text_bm25_topk", dict(max_python=0, want_broadcast=True, max_shuffles=8)),
+    ("text_bm25_topk", dict(max_python=0, want_broadcast=True, max_shuffles=9)),
     ("w_sessionize", dict(max_python=0, max_shuffles=4)),
     # pagerank's returned plan is shallow (localCheckpoint per round,
     # like dedup_cc); budget covers the final left join + orderBy
@@ -130,10 +135,10 @@ AUDIT = [
     ("multimodal_decode", dict(max_python=8, want_broadcast=True, max_shuffles=4)),
     # HLL: pure Catalyst; shuffle 1 = groupBy(idx) over <=256 keys
     # (map-side combined), shuffle 2 = the one-row summary agg
-    ("sketch_hll_distinct", dict(max_python=0, max_shuffles=2)),
+    ("sketch_hll_distinct", dict(max_python=0, max_shuffles=3)),
     # grouped HLL: same two aggregates keyed by (source, idx) /
     # (source), + the contract orderBy
-    ("sketch_hll_by_source", dict(max_python=0, max_shuffles=3)),
+    ("sketch_hll_by_source", dict(max_python=0, max_shuffles=4)),
     # log2 histogram: one map-side-combined groupBy + contract orderBy
     ("sketch_histogram", dict(max_python=0, max_shuffles=2)),
     # CMS: pure Catalyst; shuffles = counter groupBy (<=4096 keys,
@@ -142,14 +147,17 @@ AUDIT = [
     ("sketch_cms_topk", dict(max_python=0, want_broadcast=True, max_shuffles=3)),
     # int8 ANN: pure Catalyst quantize + integer dot; query side
     # broadcasts, shuffles = rank window + contract orderBy
-    ("ann_int8_topk", dict(max_python=0, want_broadcast=True, max_shuffles=2)),
+    # round-6: the int64-matmul scorer is ONE mapInPandas against the
+    # collected query codes (the broadcast join disappeared with the
+    # cross join it served); +1 spread exchange
+    ("ann_int8_topk", dict(max_python=1, max_shuffles=3)),
     # shape stats: one Arrow decode pass per geometry column (2), then
     # the kod equi-join + contract orderBy
     ("geo_shape_stats", dict(max_python=2, max_shuffles=3)),
     # incremental dedup: one Arrow signature pass per side (2);
     # shuffles = history hash/band distincts, batch near distinct,
     # two classification left-joins, contract orderBy
-    ("dedup_incremental", dict(max_python=2, max_shuffles=8)),
+    ("dedup_incremental", dict(max_python=2, max_shuffles=10)),
     # bloom decontamination: corpus Arrow shingle pass + the bench
     # pass, which is PERSISTED (built once, read back as
     # InMemoryTableScan by both the bloom build and the confirm join)
@@ -164,13 +172,16 @@ AUDIT = [
     ("sample_epochs", dict(max_python=0, max_shuffles=3)),
     # repetition profile: pure Catalyst; shuffles = (doc,n,gram)
     # groupBy (map-side combined) + doc groupBy + final sort
-    ("text_repetition", dict(max_python=0, max_shuffles=3)),
+    # round-6: map-only Arrow counter pass (1 python, spread + orderBy)
+    ("text_repetition", dict(max_python=1, max_shuffles=3)),
     # exact-substring: window-hash exchange + doc-id exchange + final
     # sort; islands/span/doc aggs reuse the doc-id partitioning
-    ("dedup_exact_substring", dict(max_python=0, max_shuffles=3)),
+    # round-6: +spread before the window build; h-agg/join/doc shuffles
+    ("dedup_exact_substring", dict(max_python=0, max_shuffles=5)),
     # cleaning verdict: content-hash window + repetition's two aggs +
     # two doc_id joins + tiny rollup; all JVM
-    ("pipeline_clean", dict(max_python=0, max_shuffles=8)),
+    # round-6: quality + repetition Arrow passes (2 python)
+    ("pipeline_clean", dict(max_python=2, max_shuffles=8)),
     # capped-bucket LSH: minhash budget + the bucket-stats groupBy
     # (map-side combined, joined back — never a window) + the
     # small/star branch union's distinct; 2 of the 7 exchanges are the
@@ -198,7 +209,7 @@ AUDIT = [
     # 6-gate cleaning verdict: pipeline_clean's budget + the blocklist
     # suffix join (rules broadcast) + the clean_text dedup window +
     # per-gate doc_id joins; all JVM
-    ("pipeline_clean_full", dict(max_python=0, want_broadcast=True, max_shuffles=12)),
+    ("pipeline_clean_full", dict(max_python=2, want_broadcast=True, max_shuffles=12)),
     # ---- round-5 completeness sweep: every remaining batch query,
     # budgets pinned at the observed plan shape so ANY regression
     # (new shuffle, new Python boundary, lost broadcast) fails loudly.
@@ -226,15 +237,15 @@ AUDIT = [
     ("text_fingerprint", dict(max_python=0, max_shuffles=3)),
     ("text_pack_bins", dict(max_python=0, max_shuffles=2)),
     ("text_pii_scrub", dict(max_python=0, max_shuffles=1)),
-    ("text_quality", dict(max_python=0, max_shuffles=1)),
-    ("text_source_stats", dict(max_python=0, max_shuffles=2)),
+    ("text_quality", dict(max_python=1, max_shuffles=2)),
+    ("text_source_stats", dict(max_python=1, max_shuffles=3)),
     ("text_tokens", dict(max_python=0, max_shuffles=2)),
     ("text_vocab", dict(max_python=0, max_shuffles=1)),
     # set ops / merge lifecycle:
     ("so1_symmetric_diff", dict(max_python=0, max_shuffles=5)),
     ("so2_union", dict(max_python=0, max_shuffles=2)),
     ("m3_merge_state", dict(max_python=0, want_broadcast=True, max_shuffles=4)),
-    ("dedup_keep_best", dict(max_python=0, max_shuffles=4)),
+    ("dedup_keep_best", dict(max_python=1, max_shuffles=5)),
     # near-dup variants: banded/blocked joins, Arrow only at the
     # signature pass (expression twins parity-pinned in pytest)
     ("dedup_simhash", dict(max_python=1, max_shuffles=1)),
@@ -245,7 +256,7 @@ AUDIT = [
     ("ann_ivf_indexed", dict(max_python=1, want_broadcast=True, max_shuffles=2)),
     # geo variants: Arrow only at the winding/segment refine
     ("geo_pip_hierarchy", dict(max_python=1, want_broadcast=True, max_shuffles=2)),
-    ("geo_range_join", dict(max_python=1, max_shuffles=1)),
+    ("geo_range_join", dict(max_python=1, max_shuffles=2)),
     # multimodal meta/frames: synth pass + decode pass (mapInPandas by
     # design — per-payload parsers), one agg/sort exchange
     ("multimodal_frames", dict(max_python=2, max_shuffles=1)),

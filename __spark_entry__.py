@@ -2660,6 +2660,14 @@ def q_pipeline_clean_full(spark, sf_dir):
     cl = text_ops.clean_lines(
         docs.select("doc_id", "source", page.alias("page")), text_col="page"
     ).select("doc_id", "source", "n_kept", "clean_text")
+    # the cleaned relation feeds FOUR consumers (dedup window, quality,
+    # repetition, and the join base); persist + eager count so the
+    # synth-page + line-rule projection runs once, not once per branch
+    # (round-6, guide §5 — same eager-materialization shape as
+    # minhash_lsh_pairs' signature cache; concurrent map stages would
+    # otherwise double-compute cold cache partitions)
+    cl = cl.persist()
+    cl.count()
     rn = F.row_number().over(
         Window.partitionBy(F.md5("clean_text")).orderBy("doc_id")
     )

@@ -318,9 +318,23 @@ def minhash_lsh_pairs(
         a = exploded.select(F.col(id_col).alias("id_a"), F.col("band_key")).alias("a")
         b = exploded.select(F.col(id_col).alias("id_b"), F.col("band_key")).alias("b")
         # distinct over bare id pairs (cheap), then rejoin the cached
-        # signatures once per pair for the agreement estimate
+        # signatures once per pair for the agreement estimate.
+        # The distinct's exchange is a RANGE partition on (id_a, id_b):
+        # RangePartitioning satisfies the aggregate's ClusteredDistribution,
+        # and — because the broadcast rejoins and the jaccard projection
+        # preserve the streamed side's partitioning — it ALSO satisfies
+        # the OrderedDistribution of the callers' orderBy(id_a, id_b),
+        # which then plans as a partition-local sort instead of a second
+        # full exchange of the ~87M-row pair table (guide §2.4: two
+        # operations keyed the same way share one exchange).
         pairs = (
-            a.join(b, on="band_key").where(F.col("id_a") < F.col("id_b")).select("id_a", "id_b").distinct()
+            a.join(b, on="band_key")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .repartitionByRange(
+                spark.sparkContext.defaultParallelism, F.asc("id_a"), F.asc("id_b")
+            )
+            .distinct()
         )
     else:
         stats = exploded.groupBy("band_key").agg(
@@ -342,7 +356,15 @@ def minhash_lsh_pairs(
             pair_src.where((F.col("__bn") > max_bucket) & (F.col(id_col) != F.col("__bmin")))
             .select(F.col("__bmin").alias("id_a"), F.col(id_col).alias("id_b"))
         )
-        pairs = all_pairs.unionByName(star).distinct()
+        # same range-distinct as the uncapped branch: one exchange
+        # serves both the dedup and the callers' orderBy(id_a, id_b)
+        pairs = (
+            all_pairs.unionByName(star)
+            .repartitionByRange(
+                spark.sparkContext.defaultParallelism, F.asc("id_a"), F.asc("id_b")
+            )
+            .distinct()
+        )
     sa = sig.select(F.col(id_col).alias("id_a"), F.col("minhash").alias("mh_a"))
     sb = sig.select(F.col(id_col).alias("id_b"), F.col("minhash").alias("mh_b"))
     # agreement as an unrolled element_at sum, NOT zip_with+filter:

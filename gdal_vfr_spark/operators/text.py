@@ -412,11 +412,19 @@ def bm25_topk(
     from gdal_vfr_spark.plans.skew import spread_small_input
 
     docs = spread_small_input(docs.select(id_col, text_col))
-    toks = docs.select(F.col(id_col), F.explode(tokens_expr(text_col)).alias("term"))
+    # Tokenize ONCE: the per-doc token arrays are persisted and feed
+    # both the tf explode AND the avgdl stats aggregate (round-6: the
+    # stats branch used to re-run the regex tokenizer over the whole
+    # corpus a second time — guide §1.2 "don't compute things twice").
+    # sum(size(__toks)) is the same integer as sum(token_count_expr):
+    # token_count_expr IS size(tokens_expr), including the size(null)
+    # = -1 null-text behavior, so avgdl is bit-identical.
+    base = docs.select(F.col(id_col), tokens_expr(text_col).alias("__toks")).persist()
+    toks = base.select(F.col(id_col), F.explode("__toks").alias("term"))
     tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
     tf = tf.withColumn("dl", F.sum("tf").over(Window.partitionBy(id_col)))
-    stats = docs.agg(
-        F.count("*").alias("n"), F.sum(token_count_expr(text_col)).alias("total")
+    stats = base.agg(
+        F.count("*").alias("n"), F.sum(F.size("__toks")).alias("total")
     ).first()
     n_docs = int(stats["n"])
     avgdl = float(stats["total"]) / float(n_docs) if n_docs else 1.0

@@ -53,6 +53,24 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+# round-6: a global-sort range exchange SAMPLES its child to compute
+# partition bounds, so the child subtree — everything up to the nearest
+# shuffle/materialization boundary, Python kernels and regex chains
+# included — executes TWICE (once for the sampler, once for the real
+# shuffle write). For queries whose final orderBy sits directly on an
+# expensive map-side chain, a lazy localCheckpoint materializes the
+# (small) result rows once and lets both the sampler and the exchange
+# re-read them (guide §1.2 "don't compute things twice"; measured e.g.
+# geo_range_join_large 5.9s -> 3.2s, the refine kernel 2x -> 1x).
+# _SORT_BARRIER exists so plan_variants() can expose the un-hidden plan
+# to the audit tooling (localCheckpoint shows as Scan ExistingRDD).
+_SORT_BARRIER = True
+
+
+def _sort_once(df: DataFrame) -> DataFrame:
+    return df.localCheckpoint(eager=False) if _SORT_BARRIER else df
+
+
 # --------------------------------------------------------------------------
 # Derived deterministic geotags (engine + oracle twins)
 # --------------------------------------------------------------------------
@@ -1239,6 +1257,9 @@ def q_geo_knn_lines(spark, sf_dir):
     _ensure_shipped(spark)
     g = _events_geo(spark, sf_dir).where(F.col("event_id") % 100 == 1)
     out = _ulice_joiner(spark).apply(g, k=3, id_col="event_id")
+    # (round-6 measured negative result: a pre-sort localCheckpoint
+    # barrier here was +0.1s — the kernel reads from a reusable
+    # shuffle, so the sort sampler's re-run is already cheap)
     return out.select(
         "event_id",
         F.col("neighbor_key").alias("kod"),
@@ -2159,11 +2180,10 @@ def q_dedup_strip_boilerplate(spark, sf_dir):
     from gdal_vfr_spark.operators import dedup as dedup_ops
 
     ml = _multiline_docs(spark, sf_dir)
-    return (
+    return _sort_once(
         dedup_ops.strip_boilerplate_lines(ml, text_col="text", min_docs=2)
         .select("doc_id", "n_kept_lines", "clean_text")
-        .orderBy("doc_id")
-    )
+    ).orderBy("doc_id")
 
 
 def q_web_url_canonicalize(spark, sf_dir):
@@ -2198,8 +2218,10 @@ def q_web_url_canonicalize(spark, sf_dir):
         F.when(F.col("doc_id") % 7 == 2, F.lit("#sec")).otherwise(F.lit("")),
     )
     d = docs.select("doc_id", url.alias("url"))
-    return d.select(
-        "doc_id", "url", url_fns.canonicalize_url_expr("url").alias("canonical_url")
+    return _sort_once(
+        d.select(
+            "doc_id", "url", url_fns.canonicalize_url_expr("url").alias("canonical_url")
+        )
     ).orderBy("doc_id")
 
 
@@ -2242,16 +2264,16 @@ def q_text_quantiles(spark, sf_dir):
 
 def q_text_lang(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
-    return (
-        text_ops.with_lang_id(docs)
-        .select("doc_id", "lang_pred")
-        .orderBy("doc_id")
-    )
+    return _sort_once(
+        text_ops.with_lang_id(docs).select("doc_id", "lang_pred")
+    ).orderBy("doc_id")
 
 
 def q_text_quality(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
-    return text_ops.with_quality(docs).select("doc_id", "quality").orderBy("doc_id")
+    return _sort_once(
+        text_ops.with_quality(docs).select("doc_id", "quality")
+    ).orderBy("doc_id")
 
 
 def q_text_repetition(spark, sf_dir):
@@ -2263,7 +2285,7 @@ def q_text_repetition(spark, sf_dir):
     {1,2,5}-grams), two keyed shuffles
     (operators/text.py:repetition_stats)."""
     docs = _read(spark, sf_dir, "documents")
-    return text_ops.repetition_stats(docs).orderBy("doc_id")
+    return _sort_once(text_ops.repetition_stats(docs)).orderBy("doc_id")
 
 
 def q_text_pii_scrub(spark, sf_dir):
@@ -2753,7 +2775,33 @@ def plan_variants() -> dict:
             "doc_id"
         )
 
-    return {"dedup_decontaminate_bloom": bloom_plan}
+    def _no_barrier(q):
+        # build the plan with the pre-sort localCheckpoint disabled so
+        # the audit sees the full operator tree, not Scan ExistingRDD
+        def f(spark, sf_dir):
+            global _SORT_BARRIER
+            _SORT_BARRIER = False
+            try:
+                return q(spark, sf_dir)
+            finally:
+                _SORT_BARRIER = True
+
+        return f
+
+    out = {"dedup_decontaminate_bloom": bloom_plan}
+    for name, q in [
+        ("geo_range_join_large", q_geo_range_join_large),
+        ("dedup_strip_boilerplate", q_dedup_strip_boilerplate),
+        ("web_url_canonicalize", q_web_url_canonicalize),
+        ("text_repetition", q_text_repetition),
+        ("text_lang", q_text_lang),
+        ("text_quality", q_text_quality),
+        ("multimodal_decode", q_multimodal_decode),
+        ("dedup_semantic", q_dedup_semantic),
+        ("embedding_near_dup", q_embedding_near_dup),
+    ]:
+        out[name] = _no_barrier(q)
+    return out
 
 
 def q_dedup_keep_best(spark, sf_dir):
@@ -2834,8 +2882,10 @@ def q_dedup_semantic(spark, sf_dir):
     twin unrolls the same Lloyd iterations and applies the same
     relational drop rule."""
     emb = _read(spark, sf_dir, "embeddings")
-    return similarity.semantic_dedup(
-        emb, threshold=0.4, n_centroids=8, n_iter=2, dim=64
+    return _sort_once(
+        similarity.semantic_dedup(
+            emb, threshold=0.4, n_centroids=8, n_iter=2, dim=64
+        )
     ).orderBy("vec_id")
 
 
@@ -2957,7 +3007,7 @@ def q_multimodal_decode(spark, sf_dir):
         mm.resize_nearest(bin_df, width=3, height=2, binary_col="image"),
         binary_col="image",
     ).select("url", F.col("sum_r").alias("rz_sum_r"), F.col("n_px").alias("rz_n_px"))
-    return (
+    return _sort_once(
         img.join(aud, "url")
         .join(rz, "url")
         .select(
@@ -2968,8 +3018,7 @@ def q_multimodal_decode(spark, sf_dir):
             F.col("sample_rate").cast("long").alias("sample_rate"),
             "n_samples", "sum_abs", "max_abs", "rz_sum_r", "rz_n_px",
         )
-        .orderBy("key")
-    )
+    ).orderBy("key")
 
 
 def q_ann_int8_topk(spark, sf_dir):
@@ -3004,6 +3053,9 @@ def q_dedup_incremental(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
     hist = docs.where(F.col("doc_id") % 3 != 0)
     batch = docs.where(F.col("doc_id") % 3 == 0)
+    # (round-6 measured negative result: a pre-sort barrier was +0.3s —
+    # the classification joins end at reusable shuffle boundaries and
+    # the checkpoint pays to store the wide text column)
     return dedup.incremental_dedup(hist, batch).orderBy("doc_id")
 
 
@@ -3139,11 +3191,10 @@ def q_embedding_near_dup(spark, sf_dir):
     planes found zero pairs in the fixture, certifying nothing; 0.4
     with 4 planes yields 9 of the 59 exact pairs)."""
     emb = _read(spark, sf_dir, "embeddings")
-    return (
+    return _sort_once(
         similarity.cosine_near_dup_pairs(emb, threshold=0.4, dim=64, n_planes=4)
         .select("id_a", "id_b")
-        .orderBy("id_a", "id_b")
-    )
+    ).orderBy("id_a", "id_b")
 
 
 def q_geo_pip_hierarchy(spark, sf_dir):
@@ -3370,8 +3421,8 @@ def q_geo_range_join_large(spark, sf_dir):
     _ensure_shipped(spark)
     g = _events_geo(spark, sf_dir).where(F.col("event_id") % 200 == 1)
     out = _ulice_large_joiner(spark).apply(g, id_col="event_id")
-    return out.select(
-        "event_id", F.col("neighbor_key").alias("kod"), "dist2"
+    return _sort_once(
+        out.select("event_id", F.col("neighbor_key").alias("kod"), "dist2")
     ).orderBy("event_id", "kod")
 
 

@@ -306,6 +306,73 @@ def _probe_arrow_udf(centroids: list[tuple[int, list[float]]], nprobe: int):
     return _probe
 
 
+def _kmeans_iter_partials(
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str,
+    dim: int,
+) -> DataFrame:
+    """One fused Lloyd-iteration pass: per task, assign every vector to
+    its nearest centroid with EXACTLY _assign_arrow_udf's float64 op
+    order (per-dimension sequential accumulation, strict < keeps the
+    smallest cid on ties) and accumulate per-(cid, pos) bigint sums of
+    floor(val * 2^20) plus member counts. Emits k*dim partial rows per
+    task; summing partials downstream reproduces the posexplode
+    aggregate bit-for-bit because integer addition is order-free."""
+    C = np.asarray([c for _, c in centroids], dtype=np.float64)
+    cids = np.asarray([cid for cid, _ in centroids], dtype=np.int64)
+    scale = float(QUANT_SCALE)
+    k = C.shape[0]
+
+    def _it(batches):
+        S = np.zeros((k, dim), dtype=np.int64)
+        CNT = np.zeros(k, dtype=np.int64)
+        seen = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            n = E.shape[0]
+            best_d = None
+            best = None
+            for j in range(k):
+                d = np.zeros(n)
+                cj = C[j]
+                for i in range(E.shape[1]):
+                    t = E[:, i] - cj[i]
+                    d = d + t * t
+                if best_d is None:
+                    best_d, best = d, np.full(n, j)
+                else:
+                    m = d < best_d
+                    best_d = np.where(m, d, best_d)
+                    best = np.where(m, j, best)
+            Q = np.floor(E * scale).astype(np.int64)
+            for j in range(k):
+                mask = best == j
+                if mask.any():
+                    S[j] += Q[mask].sum(axis=0)
+                    CNT[j] += int(mask.sum())
+            seen = True
+        if seen:
+            nz = CNT > 0
+            jj = np.nonzero(nz)[0]
+            yield pd.DataFrame(
+                {
+                    "cid": np.repeat(cids[jj], dim),
+                    "pos": np.tile(np.arange(dim, dtype=np.int64), len(jj)),
+                    "s": S[jj].ravel(),
+                    "cnt": np.repeat(CNT[jj], dim),
+                }
+            )
+
+    return corpus.select(vec_col).mapInPandas(
+        _it, "cid long, pos long, s long, cnt long"
+    )
+
+
 def kmeans_centroids(
     corpus: DataFrame,
     k: int = 8,
@@ -348,25 +415,40 @@ def kmeans_centroids(
     cents = [(i, [float(x) for x in r[vec_col]]) for i, r in enumerate(seeds)]
     scale = float(QUANT_SCALE)
     for _ in range(n_iter):
-        cid_col = (
-            _assign_expr(vec_col, cents)
-            if use_expr
-            else _assign_arrow_udf(cents)(F.col(vec_col))
-        )
-        # fixed-point per-position sums via posexplode: one JVM hash
-        # aggregate over (cid, pos) — partial map-side combine, no
-        # 64-wide interpreted projection, order-free bigint sums
-        stats = (
-            corpus.select(vec_col)
-            .withColumn("cid", cid_col)
-            .select("cid", F.posexplode(F.col(vec_col)).alias("pos", "val"))
-            .groupBy("cid", "pos")
-            .agg(
-                F.sum(F.floor(F.col("val").cast("double") * F.lit(scale))).alias("s"),
-                F.count("*").alias("cnt"),
+        if use_expr:
+            # oracle-parity path: fixed-point per-position sums via
+            # posexplode — one JVM hash aggregate over (cid, pos),
+            # partial map-side combine, order-free bigint sums
+            cid_col = _assign_expr(vec_col, cents)
+            stats = (
+                corpus.select(vec_col)
+                .withColumn("cid", cid_col)
+                .select("cid", F.posexplode(F.col(vec_col)).alias("pos", "val"))
+                .groupBy("cid", "pos")
+                .agg(
+                    F.sum(F.floor(F.col("val").cast("double") * F.lit(scale))).alias("s"),
+                    F.count("*").alias("cnt"),
+                )
+                .collect()
             )
-            .collect()
-        )
+        else:
+            # fused Arrow iteration (round-6): assignment AND the
+            # fixed-point partial sums in ONE kernel pass — the
+            # posexplode blew each vector into `dim` rows (1.28M rows
+            # per iteration at 20k x 64) only to feed an integer sum
+            # that numpy can partial-aggregate per task; bigint sums of
+            # per-element floor(val * 2^20) are order-free, so the
+            # collected (cid, pos, s, cnt) totals — and therefore the
+            # centroids — are bit-identical to the posexplode path
+            # (pinned by the use_expr parity test). Shuffle payload
+            # drops from dim rows per vector to k*dim rows per TASK
+            # (guide §2.3 "aggregate before you shuffle").
+            stats = (
+                _kmeans_iter_partials(corpus, cents, vec_col, dim)
+                .groupBy("cid", "pos")
+                .agg(F.sum("s").alias("s"), F.sum("cnt").alias("cnt"))
+                .collect()
+            )
         got: dict[int, dict[int, tuple[int, int]]] = {}
         for r in stats:
             got.setdefault(int(r["cid"]), {})[int(r["pos"])] = (r["s"], r["cnt"])
@@ -405,6 +487,14 @@ def ivf_topk(
     pruning, scanning nprobe/n_centroids of the data). use_expr=True
     runs assignment/probing through the pure-Catalyst folds (parity
     twin; interpreted, slow)."""
+    # spread once and cache the narrow (id, vec) relation: k-means scans
+    # it n_iter+1 times and the assignment once — the same size-gated
+    # spread+persist shape as semantic_dedup (round-6, guide §5/§6)
+    from gdal_vfr_spark.plans.skew import spread_small_input
+
+    narrow = corpus.select(id_col, vec_col)
+    spreadv = spread_small_input(narrow, min_bytes=4 << 20)
+    corpus = spreadv.persist() if spreadv is not narrow else narrow
     cents = kmeans_centroids(
         corpus, n_centroids, n_iter, id_col, vec_col, dim, use_expr=use_expr
     )

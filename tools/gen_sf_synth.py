@@ -37,7 +37,13 @@ LANG_P = [0.412, 0.151, 0.149, 0.148, 0.14]
 
 def _write(out_dir: str, name: str, table: pa.Table) -> None:
     path = os.path.join(out_dir, f"{name}.parquet")
-    pq.write_table(table, path, row_group_size=1 << 31, compression="snappy")
+    # mirror the driver fixtures' physical layout: one file per table,
+    # a single row group for the small/medium tables, ~1M-row groups
+    # for the TPC-H fact tables (the driver's sf1.0 lineitem had 6 row
+    # groups; row-group count bounds scan parallelism, so it is
+    # load-bearing for measurement fidelity)
+    rg = 1_000_000 if name in ("lineitem", "orders") else 1 << 31
+    pq.write_table(table, path, row_group_size=rg, compression="snappy")
     print(f"wrote {name}: {table.num_rows} rows")
 
 

@@ -88,7 +88,12 @@ AUDIT = [
     # window, contract orderBy = 6; the other 2 counted exchanges are
     # distinct-aggs over the 9-row literal query-terms frame (one per
     # broadcast branch) — constant-size, not scale-relevant
-    ("text_bm25_topk", dict(max_python=0, want_broadcast=True, max_shuffles=9)),
+    # round-6: the per-doc token arrays are persisted (one tokenize
+    # pass feeds tf AND the avgdl stats); the cached relation's build
+    # subtree — including its spread exchange — prints once per
+    # cache-reading branch, so plan occurrences over-count executions
+    # (the minhash note below applies)
+    ("text_bm25_topk", dict(max_python=0, want_broadcast=True, max_shuffles=10)),
     ("w_sessionize", dict(max_python=0, max_shuffles=4)),
     # pagerank's returned plan is shallow (localCheckpoint per round,
     # like dedup_cc); budget covers the final left join + orderBy

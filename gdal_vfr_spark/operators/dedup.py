@@ -303,7 +303,18 @@ def minhash_lsh_pairs(
     # One count() up front means every downstream scan (a-side, b-side,
     # sa/sb rejoin) is a warm cache read. Re-invocations of the same
     # plan dedupe through CacheManager, so repeated calls pay once.
-    sig.count()
+    n_sig = sig.count()
+    # Range partitions for the pair-table distinct, derived from input
+    # size (guide §2.2/§5): the partition-local distinct hash table and
+    # the callers' sort buffer scale with pairs-per-task, and the
+    # fixture corpus generates ~1.8k candidate pairs per doc — ~1M
+    # pairs per partition at n_sig/500 partitions (measured at the 10x
+    # scale: 90M pairs, 11.5s at 1x parallelism vs 7.2s at 3x). Small
+    # corpora stay at defaultParallelism (a larger fan-out measured
+    # +0.3s at sf0.1); the 6x cap keeps the local bench comparable —
+    # production sets spark.sql.shuffle.partitions for its own scale.
+    para = spark.sparkContext.defaultParallelism
+    n_range = max(para, min(6 * para, n_sig // 500))
     exploded = sig.select(
         id_col, "minhash", F.explode(band_keys_expr(F.col("minhash"), bands, rows)).alias("band_key")
     )
@@ -327,13 +338,20 @@ def minhash_lsh_pairs(
         # which then plans as a partition-local sort instead of a second
         # full exchange of the ~87M-row pair table (guide §2.4: two
         # operations keyed the same way share one exchange).
+        # 3x parallelism range partitions (guide §5: smaller per-task
+        # state): the partition-local distinct builds a hash table and
+        # the callers' sort buffers the partition, so ~1M-pair tasks
+        # beat ~3M-pair tasks on GC (measured 11.5s / 9.0s / 7.2s at
+        # 1x / 2x / 3x on the 90M-pair 10x-scale input). Scales with
+        # the cluster, not a local constant. (Also measured negative:
+        # persisting the pre-distinct pair table to spare the range
+        # sampler its re-generation — 10.0s; the columnar cache write
+        # of 90M rows costs more than the broadcast-probe re-run.)
         pairs = (
             a.join(b, on="band_key")
             .where(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b")
-            .repartitionByRange(
-                spark.sparkContext.defaultParallelism, F.asc("id_a"), F.asc("id_b")
-            )
+            .repartitionByRange(n_range, F.asc("id_a"), F.asc("id_b"))
             .distinct()
         )
     else:
@@ -360,9 +378,7 @@ def minhash_lsh_pairs(
         # serves both the dedup and the callers' orderBy(id_a, id_b)
         pairs = (
             all_pairs.unionByName(star)
-            .repartitionByRange(
-                spark.sparkContext.defaultParallelism, F.asc("id_a"), F.asc("id_b")
-            )
+            .repartitionByRange(n_range, F.asc("id_a"), F.asc("id_b"))
             .distinct()
         )
     sa = sig.select(F.col(id_col).alias("id_a"), F.col("minhash").alias("mh_a"))

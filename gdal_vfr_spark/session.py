@@ -86,6 +86,13 @@ def get_spark(
             "spark.sql.files.maxPartitionBytes",
             os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "32m"),
         )
+        # Long-lived drivers (the bench suite, a multi-query pipeline
+        # session) release shuffle files, broadcast and checkpoint
+        # blocks only when the DRIVER JVM garbage-collects the owning
+        # objects; the default periodic-GC interval (30min) lets that
+        # state pile up across dozens of queries and inflate later
+        # ones (guide §5). 2min bounds the accumulation window.
+        .config("spark.cleaner.periodicGC.interval", "2min")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

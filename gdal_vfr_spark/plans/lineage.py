@@ -119,10 +119,41 @@ def run_stage_resumable(
         "unit", tiles.tile_prefix_expr("tile_key", prefix_res, tile_res=tile_res)
     )
     if stage_input_path is not None:
+        # Staged-layout reuse is guarded by a FINGERPRINT, not just
+        # _SUCCESS (round-6 correctness fix): a re-run with the same
+        # stage_input_path but different pages / prefix_res / tile_res
+        # would otherwise silently read the stale layout and produce
+        # wrong per-unit output. The fingerprint covers the staging
+        # parameters, the keyed schema, and the input row count; any
+        # mismatch re-stages with mode=overwrite. The count is one
+        # narrow scan of the input per call — the price of detecting a
+        # changed input behind an unchanged path. (The existence checks
+        # are local-filesystem only; for HDFS/S3 staging, front this
+        # with the Hadoop FileSystem API or a catalog table.)
+        import json
         import os
 
-        if not os.path.exists(os.path.join(stage_input_path, "_SUCCESS")):
+        fp = json.dumps(
+            {
+                "prefix_res": prefix_res,
+                "tile_res": tile_res,
+                "schema": keyed.schema.simpleString(),
+                "n_rows": pages.count(),
+            },
+            sort_keys=True,
+        )
+        fp_path = os.path.join(stage_input_path, "_STAGE_FINGERPRINT.json")
+        reusable = False
+        if os.path.exists(os.path.join(stage_input_path, "_SUCCESS")):
+            try:
+                with open(fp_path) as f:
+                    reusable = f.read() == fp
+            except OSError:
+                reusable = False
+        if not reusable:
             keyed.write.mode("overwrite").partitionBy("unit").parquet(stage_input_path)
+            with open(fp_path, "w") as f:
+                f.write(fp)
         keyed = spark.read.parquet(stage_input_path)
     manifest = keyed.select("unit").distinct()
     pending = [r["unit"] for r in lineage.pending_units(stage, manifest).collect()]

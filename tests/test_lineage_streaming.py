@@ -123,6 +123,62 @@ def test_lineage_staged_input_partition_pruned(spark, tmp_path):
     assert (tmp_path / "staged" / "_SUCCESS").stat().st_mtime == mtime
 
 
+def test_lineage_staged_fingerprint_restages(spark, tmp_path):
+    """Round-6 correctness guard: reusing a staged layout under the
+    same path with DIFFERENT parameters or a different input must
+    re-stage (the old behavior keyed reuse on _SUCCESS alone and
+    silently read the stale layout)."""
+    pages = datagen.gen_webpages(spark, n=600, seed=33).where("lon is not null")
+
+    def transform(part):
+        return part.select("url", "lon", "lat")
+
+    staged = tmp_path / "staged"
+    log_a = LineageLog(spark, str(tmp_path / "lin_a"))
+    done_a = run_stage_resumable(
+        spark, pages, "x", transform, log_a, str(tmp_path / "out_a"),
+        prefix_res=8, stage_input_path=str(staged),
+    )
+    assert len(done_a) > 1
+    # same params + same input -> reuse (not rewritten)
+    mtime = (staged / "_SUCCESS").stat().st_mtime
+    assert run_stage_resumable(
+        spark, pages, "x", transform, log_a, str(tmp_path / "out_a"),
+        prefix_res=8, stage_input_path=str(staged),
+    ) == []
+    assert (staged / "_SUCCESS").stat().st_mtime == mtime
+    # different prefix_res under the SAME staged path -> re-staged,
+    # and the per-unit outputs equal the no-staging reference
+    log_b = LineageLog(spark, str(tmp_path / "lin_b"))
+    done_b = run_stage_resumable(
+        spark, pages, "x", transform, log_b, str(tmp_path / "out_b"),
+        prefix_res=6, stage_input_path=str(staged),
+    )
+    assert (staged / "_SUCCESS").stat().st_mtime != mtime
+    log_c = LineageLog(spark, str(tmp_path / "lin_c"))
+    done_c = run_stage_resumable(
+        spark, pages, "x", transform, log_c, str(tmp_path / "out_c"),
+        prefix_res=6,
+    )
+    assert done_b == done_c
+    a = spark.read.parquet(str(tmp_path / "out_b/unit=*")).toPandas()
+    b = spark.read.parquet(str(tmp_path / "out_c/unit=*")).toPandas()
+    key = sorted(a.columns)
+    pd.testing.assert_frame_equal(
+        a[key].sort_values(key).reset_index(drop=True),
+        b[key].sort_values(key).reset_index(drop=True),
+    )
+    # different INPUT behind the same path -> re-staged
+    mtime2 = (staged / "_SUCCESS").stat().st_mtime
+    pages2 = datagen.gen_webpages(spark, n=400, seed=34).where("lon is not null")
+    log_d = LineageLog(spark, str(tmp_path / "lin_d"))
+    run_stage_resumable(
+        spark, pages2, "x", transform, log_d, str(tmp_path / "out_d"),
+        prefix_res=6, stage_input_path=str(staged),
+    )
+    assert (staged / "_SUCCESS").stat().st_mtime != mtime2
+
+
 def test_hot_keys_and_salted_join(spark):
     pages = datagen.gen_webpages(spark, n=5000, seed=33).where("lon is not null")
     hot = skew.hot_keys(pages, "truth_obec_kod", sample_frac=0.3, threshold_frac=0.1)

@@ -376,6 +376,11 @@ def minhash_lsh_pairs(
         )
         # same range-distinct as the uncapped branch: one exchange
         # serves both the dedup and the callers' orderBy(id_a, id_b)
+        # (round-6 measured negative result: a lazy localCheckpoint of
+        # the capped union before the range partition — to spare the
+        # range sampler its re-run of the stats-join subtree — was
+        # 3.8s vs 3.0s at the 10x scale: the checkpoint job +
+        # block-store round-trip costs more than the subtree re-run.)
         pairs = (
             all_pairs.unionByName(star)
             .repartitionByRange(n_range, F.asc("id_a"), F.asc("id_b"))

@@ -927,6 +927,15 @@ def exact_substring_spans(
             F.md5(F.concat_ws(" ", F.slice(w, F.col("start"), L))), 1, 16
         ).alias("h"),
     )
+    # persist + eager count: the window stream feeds BOTH the
+    # duplicate-hash aggregate and the join's probe side — without the
+    # boundary the slice+concat_ws+md5 per-window pass runs twice
+    # (round-6, guide §1.2; measured 2.0-2.4s -> ~1.1s at the 10x
+    # scale). The cached row is (id, n_words, start, h) — ~40 bytes
+    # per window vs re-hashing every window; MEMORY_AND_DISK spills
+    # gracefully when a corpus-scale window stream outgrows storage.
+    wins = wins.persist()
+    wins.count()
     dup_h = (
         wins.groupBy("h")
         .agg(F.count("*").alias("__hc"))

@@ -374,18 +374,15 @@ def minhash_lsh_pairs(
             pair_src.where((F.col("__bn") > max_bucket) & (F.col(id_col) != F.col("__bmin")))
             .select(F.col("__bmin").alias("id_a"), F.col(id_col).alias("id_b"))
         )
-        # same range-distinct as the uncapped branch: one exchange
-        # serves both the dedup and the callers' orderBy(id_a, id_b)
-        # (round-6 measured negative result: a lazy localCheckpoint of
-        # the capped union before the range partition — to spare the
-        # range sampler its re-run of the stats-join subtree — was
-        # 3.8s vs 3.0s at the 10x scale: the checkpoint job +
-        # block-store round-trip costs more than the subtree re-run.)
-        pairs = (
-            all_pairs.unionByName(star)
-            .repartitionByRange(n_range, F.asc("id_a"), F.asc("id_b"))
-            .distinct()
-        )
+        # plain distinct here, unlike the uncapped branch: the capped
+        # pair table is O(corpus) small (405k rows at the 10x scale),
+        # so the orderBy exchange it saves is cheap while the range
+        # sampler re-runs the stats-join subtree — same-process A/B
+        # measured the range-distinct equal-or-slower (2.6s vs
+        # 2.3-2.6s). A lazy localCheckpoint of the union was also
+        # slower (3.8s vs 3.0s: the checkpoint job + block-store
+        # round-trip costs more than the subtree re-run).
+        pairs = all_pairs.unionByName(star).distinct()
     sa = sig.select(F.col(id_col).alias("id_a"), F.col("minhash").alias("mh_a"))
     sb = sig.select(F.col(id_col).alias("id_b"), F.col("minhash").alias("mh_b"))
     # agreement as an unrolled element_at sum, NOT zip_with+filter:
